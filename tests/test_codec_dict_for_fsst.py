@@ -1,0 +1,129 @@
+"""Round-trip + format tests for the codecs the reference lacks:
+DICT_RLE (SURVEY.md E15), FOR_BITPACK (E16 replacement), FSST (C7)."""
+
+import numpy as np
+import pytest
+
+from parquetjs_spark.codecs import dictionary, for_bp, fsst
+
+
+# --- DICT_RLE ----------------------------------------------------------------
+
+
+def test_dict_byte_array_roundtrip():
+    vals = [b"apple", b"banana", b"apple", b"apple", b"cherry", b"banana"] * 100
+    buf = dictionary.encode(vals, "BYTE_ARRAY")
+    out = dictionary.decode(buf, len(vals), "BYTE_ARRAY")
+    assert list(out) == vals
+
+
+def test_dict_int64_roundtrip():
+    rng = np.random.default_rng(42)
+    vals = rng.choice([3, 7, 1000, -5], size=5000)
+    buf = dictionary.encode(vals, "INT64")
+    out = dictionary.decode(buf, len(vals), "INT64")
+    assert out.tolist() == vals.tolist()
+
+
+def test_dict_single_value():
+    vals = [b"x"] * 1000
+    buf = dictionary.encode(vals, "BYTE_ARRAY")
+    # 1 entry -> bit width 0 -> indices nearly free
+    assert len(buf) < 20
+    assert list(dictionary.decode(buf, 1000, "BYTE_ARRAY")) == vals
+
+
+def test_dict_beats_plain_on_low_cardinality():
+    from parquetjs_spark.codecs import plain
+
+    vals = [b"RETURNFLAG_A", b"RETURNFLAG_B"] * 2048
+    d = dictionary.encode(vals, "BYTE_ARRAY")
+    p = plain.encode_byte_array(vals)
+    assert len(d) < len(p) / 20
+
+
+def test_dict_stats():
+    s = dictionary.stats([b"a", b"a", b"b", b"b", b"b", b"c"], "BYTE_ARRAY")
+    assert s["cardinality"] == 3
+    assert s["runs"] == 3
+    assert s["bit_width"] == 2
+
+
+# --- FOR_BITPACK -------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "vals",
+    [
+        [0],
+        [5, 5, 5, 5],
+        [100, 101, 102, 150],
+        [-(2**62), 2**62],
+        list(range(-50, 50)),
+        [0, 2**63 - 1, -(2**63)],
+    ],
+)
+def test_for_bitpack_roundtrip(vals):
+    buf = for_bp.encode(np.array(vals, dtype=np.int64))
+    out = for_bp.decode(buf, len(vals))
+    assert out.tolist() == vals
+
+
+def test_for_bitpack_size():
+    # 6000 values in [0, 200): 8 bits each -> ~6009 bytes vs 48000 PLAIN
+    vals = np.arange(6000, dtype=np.int64) % 200
+    buf = for_bp.encode(vals)
+    assert len(buf) == 9 + 6000  # 8-bit offsets
+    assert for_bp.estimated_size(6000, 0, 199) == len(buf)
+
+
+def test_for_bitpack_random_roundtrip():
+    rng = np.random.default_rng(42)
+    vals = rng.integers(-(2**62), 2**62, size=10_000, dtype=np.int64)
+    out = for_bp.decode(for_bp.encode(vals), len(vals))
+    assert np.array_equal(out, vals)
+
+
+# --- FSST --------------------------------------------------------------------
+
+
+def test_fsst_empty_table_escapes_everything():
+    data = bytes(range(256)) * 3
+    payload = fsst.compress(data, [])
+    assert len(payload) == 2 * len(data)
+    assert fsst.decompress(payload, []) == data
+
+
+def test_fsst_roundtrip_text():
+    data = (
+        b"def encode(values, bit_width): return pack_bits(values, bit_width)\n"
+        b"def decode(buffer, count, bit_width): return unpack_bits(buffer)\n"
+    ) * 50
+    table = fsst.train(data)
+    assert 0 < len(table) <= 255
+    payload = fsst.compress(data, table)
+    assert len(payload) < len(data)  # must actually compress boilerplate
+    assert fsst.decompress(payload, table) == data
+
+
+def test_fsst_roundtrip_with_ff_bytes():
+    # 0xFF in the *input* must survive (escape-of-escape handling)
+    data = b"\xff\xff hello \xff world \xff\xff\xff" * 20
+    table = fsst.train(data)
+    payload = fsst.compress(data, table)
+    assert fsst.decompress(payload, table) == data
+
+
+def test_fsst_table_serialization():
+    table = [b"the ", b"ing", b"\xff\x00", b"a"]
+    blob = fsst.serialize_table(table)
+    out, consumed = fsst.deserialize_table(blob)
+    assert out == table and consumed == len(blob)
+
+
+def test_fsst_binary_random_roundtrip():
+    rng = np.random.default_rng(7)
+    data = rng.integers(0, 256, size=5000, dtype=np.uint8).tobytes()
+    table = fsst.train(data)
+    payload = fsst.compress(data, table)
+    assert fsst.decompress(payload, table) == data
