@@ -1,0 +1,440 @@
+"""Column-chunk encode/decode — the analogue of the reference's
+``encodeColumnChunk``/``readColumnChunk``
+(/root/reference/lib/writer.js:424-477, /root/reference/lib/reader.js:237-262),
+with DataPageV2 layout semantics: values compressed, levels raw
+(/root/reference/lib/writer.js:355-419).
+
+Chunk blob layout (our page format, version 1):
+
+  0..3   magic  b"PCH1"
+  4      dtype id   (logical column dtype)
+  5      codec id   (value encoding)
+  6      compression id (applied to the values section only, like
+         DataPageV2 — /root/reference/lib/writer.js:392-395)
+  7      flags: bit0 = has nulls
+  8..11  u32 LE n_values (incl. nulls)
+  12..15 u32 LE n_nulls
+  16..19 u32 LE len(levels)   — definition levels as RLE bitWidth=1,
+         no envelope (degenerate Dremel: dLevelMax=1, SURVEY.md §1.3;
+         level semantics of /root/reference/lib/writer.js:369-390)
+  20..23 u32 LE len(values_compressed)
+  levels bytes ++ values bytes
+
+Null handling is Parquet's: the values section stores non-null values
+only; the levels rebuild the mask (/root/reference/lib/shred.js:100-114).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+
+import numpy as np
+import pandas as pd
+
+from .codecs import (
+    CODEC_IDS,
+    CODEC_NAMES,
+    DICT_RLE,
+    FOR_BITPACK,
+    FSST,
+    PLAIN,
+    RLE,
+    compress as comp,
+    dictionary,
+    for_bp,
+    fsst,
+    plain,
+    rle,
+)
+from .codecs.util import bit_width
+
+MAGIC = b"PCH1"
+
+# logical dtypes of the engine (SURVEY.md §1.2 Spark-equivalent column)
+DTYPE_IDS = {
+    "int64": 0,
+    "int32": 1,
+    "float64": 2,
+    "float32": 3,
+    "bool": 4,
+    "string": 5,
+    "binary": 6,
+    "date": 7,  # int32 days since epoch (lib/types.js:54-59 semantics)
+    "timestamp_us": 8,  # int64 micros (lib/types.js:60-71 semantics)
+}
+DTYPE_NAMES = {v: k for k, v in DTYPE_IDS.items()}
+
+_INT_LIKE = {"int64", "int32", "date", "timestamp_us", "bool"}
+_PTYPE = {
+    "int64": "INT64",
+    "int32": "INT32",
+    "float64": "DOUBLE",
+    "float32": "FLOAT",
+    "date": "INT32",
+    "timestamp_us": "INT64",
+}
+
+SAMPLE_VALUES = 4096  # selector cardinality/run sample
+SAMPLE_BYTES = 1 << 16  # selector FSST/zlib training sample
+
+
+# --------------------------------------------------------------------------
+# dtype normalization: pandas series -> (non-null work array, validity mask)
+# --------------------------------------------------------------------------
+
+
+def series_to_values(series: pd.Series, dtype: str):
+    """Return (values, valid_mask) where values holds only non-null entries:
+    int-like -> np int64/int32 array, floats -> np array,
+    string/binary -> list[bytes]."""
+    valid = ~pd.isna(series).to_numpy()
+    nn = series[valid] if not valid.all() else series
+    if dtype == "string":
+        vals = [v.encode("utf-8") for v in nn.astype(object).tolist()]
+    elif dtype == "binary":
+        vals = [bytes(v) for v in nn.tolist()]
+    elif dtype == "timestamp_us":
+        arr = pd.to_datetime(nn).to_numpy()
+        vals = arr.astype("datetime64[us]").view(np.int64)
+    elif dtype == "date":
+        arr = pd.to_datetime(nn).to_numpy()
+        vals = arr.astype("datetime64[D]").view(np.int64).astype(np.int32)
+    elif dtype == "bool":
+        vals = nn.to_numpy(dtype=bool)
+    elif dtype in ("int64", "int32"):
+        vals = nn.to_numpy(dtype=dtype)
+    elif dtype in ("float64", "float32"):
+        vals = nn.to_numpy(dtype=dtype)
+    else:
+        raise ValueError(f"unsupported dtype: {dtype}")
+    return vals, valid
+
+
+def values_to_series(values, valid: np.ndarray, dtype: str) -> pd.Series:
+    """Inverse of series_to_values (materialization, shred.js:157 analogue)."""
+    n = len(valid)
+    if dtype == "string":
+        out = np.empty(n, dtype=object)
+        out[valid] = [v.decode("utf-8") for v in values]
+        out[~valid] = None
+        return pd.Series(out, dtype=object)
+    if dtype == "binary":
+        out = np.empty(n, dtype=object)
+        out[valid] = list(values)
+        out[~valid] = None
+        return pd.Series(out, dtype=object)
+    if dtype == "timestamp_us":
+        out = np.full(n, np.datetime64("NaT", "us"))
+        out[valid] = np.asarray(values, dtype=np.int64).view("datetime64[us]")
+        return pd.Series(out)
+    if dtype == "date":
+        out = np.full(n, np.datetime64("NaT", "D"))
+        out[valid] = np.asarray(values, dtype=np.int64).astype("datetime64[D]")
+        return pd.Series(out.astype("datetime64[s]"))
+    if not valid.all():
+        if dtype in ("int64", "int32"):
+            # masked IntegerArray: no float round-trip (2^53 precision trap)
+            data = np.zeros(n, dtype=dtype)
+            data[valid] = np.asarray(values, dtype=dtype)
+            return pd.Series(pd.arrays.IntegerArray(data, mask=~valid))
+        if dtype == "bool":
+            data = np.zeros(n, dtype=bool)
+            data[valid] = np.asarray(values, dtype=bool)
+            return pd.Series(pd.arrays.BooleanArray(data, mask=~valid))
+        out = np.full(n, np.nan, dtype=dtype)
+        out[valid] = np.asarray(values, dtype=dtype)
+        return pd.Series(out)
+    arr = np.asarray(values)
+    if dtype == "bool":
+        return pd.Series(arr.astype(bool))
+    return pd.Series(arr.astype(dtype))
+
+
+# --------------------------------------------------------------------------
+# canonical sha256 — the per-row bit-identity invariant (BASELINE.json:15)
+# --------------------------------------------------------------------------
+
+
+def canonical_sha256(values, valid: np.ndarray, dtype: str) -> str:
+    """sha256 over PLAIN-encoded non-null values ++ validity bitmap."""
+    if dtype in ("string", "binary"):
+        body = plain.encode_byte_array(values)
+    elif dtype == "bool":
+        body = plain.encode_boolean(np.asarray(values))
+    else:
+        body = plain.encode_numeric(_PTYPE[dtype], np.asarray(values))
+    h = hashlib.sha256(body)
+    h.update(b"|")
+    h.update(np.packbits(valid.view(np.uint8), bitorder="little").tobytes())
+    return h.hexdigest()
+
+
+# --------------------------------------------------------------------------
+# value-section encoders per codec
+# --------------------------------------------------------------------------
+
+
+def _encode_int_values(vals: np.ndarray, dtype: str, codec: str) -> bytes:
+    work = np.ascontiguousarray(vals, dtype=np.int64)
+    if codec == PLAIN:
+        if dtype == "bool":
+            return plain.encode_boolean(vals)
+        return plain.encode_numeric(_PTYPE[dtype], vals)
+    if codec == FOR_BITPACK:
+        return for_bp.encode(work)
+    if codec == DICT_RLE:
+        return dictionary.encode(vals, _PTYPE.get(dtype, "INT64"))
+    if codec == RLE:
+        if len(work) and work.min() < 0:
+            raise ValueError("RLE requires non-negative values")
+        width = bit_width(int(work.max())) if len(work) else 0
+        return bytes([width]) + rle.encode(
+            work.astype(np.uint64), width, disable_envelope=True
+        )
+    raise ValueError(f"codec {codec} unsupported for {dtype}")
+
+
+def _decode_int_values(buf: memoryview, n: int, dtype: str, codec: str):
+    if codec == PLAIN:
+        if dtype == "bool":
+            return plain.decode_boolean(buf, n)
+        return plain.decode_numeric(_PTYPE[dtype], buf, n)
+    if codec == FOR_BITPACK:
+        return for_bp.decode(buf, n)
+    if codec == DICT_RLE:
+        return dictionary.decode(buf, n, _PTYPE.get(dtype, "INT64"))
+    if codec == RLE:
+        width = buf[0]
+        return rle.decode(memoryview(buf)[1:], n, width, disable_envelope=True).view(
+            np.int64
+        )
+    raise ValueError(f"codec {codec} unsupported for {dtype}")
+
+
+def _encode_fsst_strings(vals: list[bytes], table: list[bytes] | None) -> bytes:
+    concat = b"".join(vals)
+    if table is None:
+        table = fsst.train(concat[:SAMPLE_BYTES])
+    lens = np.fromiter((len(v) for v in vals), dtype=np.int64, count=len(vals))
+    lens_enc = for_bp.encode(lens)
+    payload = fsst.compress(concat, table)
+    return (
+        len(lens_enc).to_bytes(4, "little")
+        + lens_enc
+        + fsst.serialize_table(table)
+        + payload
+    )
+
+
+def _decode_fsst_strings(buf: memoryview, n: int) -> list[bytes]:
+    lens_len = int.from_bytes(bytes(buf[:4]), "little")
+    lens = for_bp.decode(buf[4 : 4 + lens_len], n)
+    table, consumed = fsst.deserialize_table(buf[4 + lens_len :])
+    concat = fsst.decompress(bytes(buf[4 + lens_len + consumed :]), table)
+    offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    return [concat[offs[i] : offs[i + 1]] for i in range(n)]
+
+
+def _encode_values(vals, dtype: str, codec: str, fsst_table=None) -> bytes:
+    if dtype in _INT_LIKE:
+        return _encode_int_values(np.asarray(vals), dtype, codec)
+    if dtype in ("float64", "float32"):
+        if codec == PLAIN:
+            return plain.encode_numeric(_PTYPE[dtype], np.asarray(vals))
+        if codec == DICT_RLE:
+            return dictionary.encode(np.asarray(vals), _PTYPE[dtype])
+        raise ValueError(f"codec {codec} unsupported for {dtype}")
+    # string / binary
+    if codec == PLAIN:
+        return plain.encode_byte_array(vals)
+    if codec == DICT_RLE:
+        return dictionary.encode(vals, "BYTE_ARRAY")
+    if codec == FSST:
+        return _encode_fsst_strings(vals, fsst_table)
+    raise ValueError(f"codec {codec} unsupported for {dtype}")
+
+
+def _decode_values(buf: memoryview, n: int, dtype: str, codec: str):
+    if dtype in _INT_LIKE:
+        return _decode_int_values(buf, n, dtype, codec)
+    if dtype in ("float64", "float32"):
+        if codec == PLAIN:
+            return plain.decode_numeric(_PTYPE[dtype], buf, n)
+        if codec == DICT_RLE:
+            return dictionary.decode(buf, n, _PTYPE[dtype])
+        raise ValueError(f"codec {codec} unsupported for {dtype}")
+    if codec == PLAIN:
+        return plain.decode_byte_array(buf, n)
+    if codec == DICT_RLE:
+        return list(dictionary.decode(buf, n, "BYTE_ARRAY"))
+    if codec == FSST:
+        return _decode_fsst_strings(buf, n)
+    raise ValueError(f"codec {codec} unsupported for {dtype}")
+
+
+# --------------------------------------------------------------------------
+# codec auto-selector (SURVEY.md §7.1 step 3): sampled cardinality /
+# run-length / symbol-frequency statistics -> cheapest codec per chunk.
+# This replaces the reference's static per-schema declaration
+# (/root/reference/lib/schema.js:129-135) with a runtime decision.
+# --------------------------------------------------------------------------
+
+
+def select_codec(vals, dtype: str) -> tuple[str, dict]:
+    """Return (codec_name, selector_stats)."""
+    n = len(vals)
+    info: dict = {"n_sampled": min(n, SAMPLE_VALUES)}
+    if n == 0:
+        return PLAIN, info
+    if dtype in ("float64", "float32", "int64", "int32", "date", "timestamp_us"):
+        arr = np.asarray(vals)
+        sample = arr[:SAMPLE_VALUES]
+        ds = dictionary.stats(sample, _PTYPE[dtype])
+        scale = n / len(sample)
+        width = arr.dtype.itemsize
+        cands = {
+            PLAIN: n * width,
+            DICT_RLE: int(ds["est_size"] * scale),
+        }
+        if dtype != "float64" and dtype != "float32":
+            vmin, vmax = int(arr.min()), int(arr.max())
+            cands[FOR_BITPACK] = for_bp.estimated_size(n, vmin, vmax)
+            if vmin >= 0 and bit_width(vmax) <= 32:
+                # RLE only pays off with long runs
+                runs = ds["runs"] * scale
+                cands[RLE] = int(runs * (2 + (bit_width(vmax) + 7) // 8)) + 1
+        info.update(cardinality=ds["cardinality"], runs=ds["runs"], sizes=cands)
+        return min(cands, key=cands.get), info
+    if dtype == "bool":
+        return PLAIN, info
+    # strings / binary: measure on a byte sample
+    lens = np.fromiter((len(v) for v in vals), dtype=np.int64, count=n)
+    total = int(lens.sum())
+    sample_vals = vals[: max(1, min(n, SAMPLE_VALUES))]
+    ds = dictionary.stats(sample_vals, "BYTE_ARRAY")
+    scale = n / len(sample_vals)
+    cands = {PLAIN: total + 4 * n, DICT_RLE: int(ds["est_size"] * scale)}
+    # FSST candidacy measured on a bounded sample (SURVEY.md §7.3)
+    if ds["cardinality"] > max(16, 0.05 * len(sample_vals)) and total > 0:
+        concat = b"".join(sample_vals)[:SAMPLE_BYTES]
+        if len(concat) >= 256:
+            table = fsst.train(concat)
+            fsst_ratio = len(fsst.compress(concat, table)) / len(concat)
+            cands[FSST] = int(fsst_ratio * total) + 2 * len(table) + n + 16
+            info["fsst_ratio"] = round(fsst_ratio, 4)
+    info.update(cardinality=ds["cardinality"], runs=ds["runs"], sizes=cands)
+    return min(cands, key=cands.get), info
+
+
+# --------------------------------------------------------------------------
+# public chunk API
+# --------------------------------------------------------------------------
+
+
+def encode_chunk(
+    series: pd.Series,
+    dtype: str,
+    codec: str = "auto",
+    compression: str = "auto",
+    fsst_table: list[bytes] | None = None,
+) -> tuple[bytes, dict]:
+    vals, valid = series_to_values(series, dtype)
+    n = len(valid)
+    n_nulls = int(n - valid.sum())
+    sel_info: dict = {}
+    if codec == "auto":
+        codec, sel_info = select_codec(vals, dtype)
+
+    values_raw = _encode_values(vals, dtype, codec, fsst_table)
+
+    if compression == "auto":
+        # keep zlib only if it buys >= 3% (decode cost isn't free)
+        z = zlib.compress(values_raw, 6)
+        if len(z) < 0.97 * len(values_raw) - 16:
+            compression, values_comp = comp.ZLIB, z
+        else:
+            compression, values_comp = comp.UNCOMPRESSED, values_raw
+    else:
+        values_comp = comp.compress(compression, values_raw)
+
+    levels = b""
+    flags = 0
+    if n_nulls:
+        flags |= 1
+        levels = rle.encode(
+            valid.astype(np.uint64), 1, disable_envelope=True
+        )
+
+    blob = b"".join(
+        (
+            MAGIC,
+            bytes(
+                [
+                    DTYPE_IDS[dtype],
+                    CODEC_IDS[codec],
+                    comp.comp_id(compression),
+                    flags,
+                ]
+            ),
+            n.to_bytes(4, "little"),
+            n_nulls.to_bytes(4, "little"),
+            len(levels).to_bytes(4, "little"),
+            len(values_comp).to_bytes(4, "little"),
+            levels,
+            values_comp,
+        )
+    )
+
+    if dtype in ("string", "binary"):
+        content_bytes = int(sum(len(v) for v in vals))
+    elif dtype == "bool":
+        content_bytes = (len(vals) + 7) // 8
+    else:
+        content_bytes = int(np.asarray(vals).nbytes)
+
+    stats = {
+        "codec": codec,
+        "compression": compression,
+        "n": n,
+        "n_nulls": n_nulls,
+        "content_bytes": content_bytes,
+        "encoded_bytes": len(blob),
+        "sha256": canonical_sha256(vals, valid, dtype),
+        "selector": sel_info,
+    }
+    return blob, stats
+
+
+def decode_chunk(blob: bytes | memoryview) -> tuple[pd.Series, str]:
+    mv = memoryview(blob)
+    if bytes(mv[:4]) != MAGIC:
+        raise ValueError("bad chunk magic")
+    dtype = DTYPE_NAMES[mv[4]]
+    codec = CODEC_NAMES[mv[5]]
+    compression = comp.comp_name(mv[6])
+    flags = mv[7]
+    n = int.from_bytes(bytes(mv[8:12]), "little")
+    n_nulls = int.from_bytes(bytes(mv[12:16]), "little")
+    levels_len = int.from_bytes(bytes(mv[16:20]), "little")
+    values_len = int.from_bytes(bytes(mv[20:24]), "little")
+    pos = 24
+    if flags & 1:
+        valid = (
+            rle.decode(mv[pos : pos + levels_len], n, 1, disable_envelope=True)
+            .astype(bool)
+        )
+    else:
+        valid = np.ones(n, dtype=bool)
+    pos += levels_len
+    values_raw = comp.decompress(compression, bytes(mv[pos : pos + values_len]))
+    vals = _decode_values(memoryview(values_raw), n - n_nulls, dtype, codec)
+    return values_to_series(vals, valid, dtype), dtype
+
+
+def verify_chunk(blob: bytes, expected_sha: str) -> bool:
+    """Decode and re-hash — the bit-identity check (BASELINE.json:15)."""
+    series, dtype = decode_chunk(blob)
+    vals, valid = series_to_values(series, dtype)
+    return canonical_sha256(vals, valid, dtype) == expected_sha

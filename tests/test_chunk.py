@@ -1,0 +1,158 @@
+"""Chunk-layer round-trips + auto-selector behavior (SURVEY.md §7.1 steps 2-3).
+
+Re-expresses the reference's integration matrix
+(/root/reference/test/integration.js:290-356 — roundtrip × compression)
+as per-dtype chunk round-trips with sha256 identity (BASELINE.json:15)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from parquetjs_spark import chunk
+from parquetjs_spark.codecs import DICT_RLE, FOR_BITPACK, FSST, PLAIN, RLE
+
+
+def roundtrip(series: pd.Series, dtype: str, **kw):
+    blob, stats = chunk.encode_chunk(series, dtype, **kw)
+    out, out_dtype = chunk.decode_chunk(blob)
+    assert out_dtype == dtype
+    assert chunk.verify_chunk(blob, stats["sha256"])
+    return out, stats
+
+
+@pytest.mark.parametrize("codec", ["auto", PLAIN, FOR_BITPACK, DICT_RLE, RLE])
+def test_int64_roundtrip(codec):
+    s = pd.Series(np.arange(5000, dtype=np.int64) % 97)
+    out, stats = roundtrip(s, "int64", codec=codec)
+    assert out.tolist() == s.tolist()
+
+
+def test_int64_with_nulls():
+    s = pd.Series([1, None, 3, None, 2**61, 7], dtype="Int64")
+    out, stats = roundtrip(s, "int64")
+    assert stats["n_nulls"] == 2
+    assert out.tolist() == s.tolist()
+
+
+def test_large_int64_nulls_no_float_trap():
+    big = 2**53 + 1
+    s = pd.Series([big, None, big + 2], dtype="Int64")
+    out, _ = roundtrip(s, "int64")
+    assert out[0] == big and pd.isna(out[1]) and out[2] == big + 2
+
+
+@pytest.mark.parametrize("codec", ["auto", PLAIN, DICT_RLE, FSST])
+def test_string_roundtrip(codec):
+    s = pd.Series(
+        ["SELECT * FROM t%d WHERE x = %d" % (i % 7, i) for i in range(2000)]
+    )
+    out, stats = roundtrip(s, "string", codec=codec)
+    assert out.tolist() == s.tolist()
+
+
+def test_string_with_nulls_and_unicode():
+    s = pd.Series(["héllo", None, "wörld", "", None, "日本語テキスト"])
+    out, stats = roundtrip(s, "string")
+    assert stats["n_nulls"] == 2
+    assert out.tolist() == ["héllo", None, "wörld", "", None, "日本語テキスト"]
+
+
+def test_float_roundtrip():
+    rng = np.random.default_rng(42)
+    s = pd.Series(rng.normal(size=3000))
+    out, _ = roundtrip(s, "float64")
+    np.testing.assert_array_equal(out.to_numpy(), s.to_numpy())
+
+
+def test_float_with_nulls():
+    s = pd.Series([1.5, None, -2.25, None])
+    out, stats = roundtrip(s, "float64")
+    assert stats["n_nulls"] == 2
+    assert out[0] == 1.5 and pd.isna(out[1])
+
+
+def test_bool_roundtrip():
+    s = pd.Series([True, False] * 100 + [True] * 50)
+    out, _ = roundtrip(s, "bool")
+    assert out.tolist() == s.tolist()
+
+
+def test_timestamp_roundtrip():
+    s = pd.Series(pd.date_range("2024-01-01", periods=1000, freq="37min"))
+    out, stats = roundtrip(s, "timestamp_us")
+    assert (out.to_numpy() == s.to_numpy().astype("datetime64[us]")).all()
+
+
+def test_date_roundtrip():
+    s = pd.Series(pd.date_range("1992-01-01", periods=500, freq="D"))
+    out, _ = roundtrip(s, "date")
+    assert (
+        out.to_numpy().astype("datetime64[D]")
+        == s.to_numpy().astype("datetime64[D]")
+    ).all()
+
+
+# --- auto-selector behavior ---------------------------------------------------
+
+
+def test_selector_picks_dict_for_low_cardinality_strings():
+    s = pd.Series(["ALPHA", "BETA", "GAMMA"] * 2000)
+    _, stats = roundtrip(s, "string")
+    assert stats["codec"] == DICT_RLE
+    assert stats["encoded_bytes"] < 0.05 * stats["content_bytes"]
+
+
+def test_selector_picks_for_bitpack_for_small_range_ints():
+    s = pd.Series((np.arange(8000) % 50).astype(np.int64))
+    _, stats = roundtrip(s, "int64")
+    assert stats["codec"] in (FOR_BITPACK, DICT_RLE, RLE)
+    assert stats["encoded_bytes"] < 0.25 * stats["content_bytes"]
+
+
+def test_selector_picks_rle_for_constant_ints():
+    s = pd.Series(np.full(10_000, 7, dtype=np.int64))
+    _, stats = roundtrip(s, "int64")
+    assert stats["encoded_bytes"] < 100  # any of RLE/FOR/DICT collapses this
+
+
+def test_selector_high_cardinality_strings_use_fsst_or_plain():
+    rng = np.random.default_rng(42)
+    words = ["return", "public", "static", "void", "import", "lambda"]
+    s = pd.Series(
+        [
+            " ".join(rng.choice(words, size=20)) + f" unique_{i}"
+            for i in range(1500)
+        ]
+    )
+    _, stats = roundtrip(s, "string")
+    assert stats["codec"] in (FSST, PLAIN)
+    # boilerplate-heavy text must compress well end to end
+    assert stats["encoded_bytes"] < 0.6 * stats["content_bytes"]
+
+
+def test_compression_auto_zlib_on_plain_text():
+    s = pd.Series(["x" * 1000] * 100)
+    blob, stats = chunk.encode_chunk(s, "string", codec=PLAIN)
+    assert stats["compression"] == "ZLIB"
+    out, _ = chunk.decode_chunk(blob)
+    assert out.tolist() == s.tolist()
+
+
+def test_forced_compression_roundtrip():
+    s = pd.Series(["abc"] * 100)
+    for comp_name in ("UNCOMPRESSED", "ZLIB", "GZIP"):
+        blob, _ = chunk.encode_chunk(s, "string", codec=PLAIN, compression=comp_name)
+        out, _ = chunk.decode_chunk(blob)
+        assert out.tolist() == s.tolist()
+
+
+def test_empty_chunk():
+    out, stats = roundtrip(pd.Series([], dtype=object), "string")
+    assert stats["n"] == 0 and len(out) == 0
+
+
+def test_all_null_chunk():
+    s = pd.Series([None, None, None], dtype=object)
+    out, stats = roundtrip(s, "string")
+    assert stats["n_nulls"] == 3
+    assert out.isna().all()
