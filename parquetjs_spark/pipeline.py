@@ -1,0 +1,329 @@
+"""Spark pipeline — encode/decode as vectorized Arrow-batched
+``mapInPandas`` stages (the execution model replacing the reference's
+single-threaded write/read paths, SURVEY.md §3.4).
+
+Design for scale:
+  * All value work happens JVM->Arrow->NumPy inside ``mapInPandas``
+    (never per-row Python — BASELINE.json input_hint).
+  * One encode task per partition; each task slices its Arrow batches
+    into row-group-sized chunks (reference default 4096 rows,
+    /root/reference/lib/writer.js:26) — chunk size bounds executor
+    memory, so the same code holds at 100 TB with more partitions.
+  * The blob/manifest table is the unit of lineage: one row per
+    (partition, chunk, column) with codec, sizes, sha256 and timing —
+    a killed job resumes by anti-joining done chunks (north rule).
+  * Skew from giant groups (repos) is defused by salted repartition
+    before encode — deterministic salt, so chunk->manifest mapping is
+    stable for resume.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Iterable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark import TaskContext
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+from . import chunk as chunklib
+
+DEFAULT_CHUNK_ROWS = 4096  # /root/reference/lib/writer.js:26
+
+# --------------------------------------------------------------------------
+# Spark <-> logical dtype mapping (SURVEY.md §1.2 table, rightmost column)
+# --------------------------------------------------------------------------
+
+_SPARK_TO_LOGICAL: dict[type, str] = {
+    T.LongType: "int64",
+    T.IntegerType: "int32",
+    T.ShortType: "int32",
+    T.ByteType: "int32",
+    T.DoubleType: "float64",
+    T.FloatType: "float32",
+    T.BooleanType: "bool",
+    T.StringType: "string",
+    T.BinaryType: "binary",
+    T.DateType: "date",
+    T.TimestampType: "timestamp_us",
+    T.TimestampNTZType: "timestamp_us",
+}
+
+_LOGICAL_TO_SPARK: dict[str, T.DataType] = {
+    "int64": T.LongType(),
+    "int32": T.IntegerType(),
+    "float64": T.DoubleType(),
+    "float32": T.FloatType(),
+    "bool": T.BooleanType(),
+    "string": T.StringType(),
+    "binary": T.BinaryType(),
+    "date": T.DateType(),
+    "timestamp_us": T.TimestampNTZType(),
+}
+
+
+def logical_dtype(spark_type: T.DataType) -> str:
+    for cls, name in _SPARK_TO_LOGICAL.items():
+        if isinstance(spark_type, cls):
+            return name
+    raise ValueError(f"unsupported Spark type: {spark_type}")
+
+
+BLOB_SCHEMA = T.StructType(
+    [
+        T.StructField("part_id", T.IntegerType()),
+        T.StructField("chunk_seq", T.LongType()),
+        T.StructField("column", T.StringType()),
+        T.StructField("dtype", T.StringType()),
+        T.StructField("codec", T.StringType()),
+        T.StructField("compression", T.StringType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("n_nulls", T.LongType()),
+        T.StructField("content_bytes", T.LongType()),
+        T.StructField("encoded_bytes", T.LongType()),
+        T.StructField("sha256", T.StringType()),
+        T.StructField("wall_ms", T.DoubleType()),
+        T.StructField("data", T.BinaryType()),
+    ]
+)
+
+MANIFEST_COLUMNS = [f.name for f in BLOB_SCHEMA.fields if f.name != "data"]
+
+
+# --------------------------------------------------------------------------
+# encode stage
+# --------------------------------------------------------------------------
+
+
+def _batch_slices(
+    batches: Iterable[pd.DataFrame], chunk_rows: int
+) -> Iterator[pd.DataFrame]:
+    """Re-chunk a stream of Arrow batches into ~chunk_rows slices without
+    concatenating the whole partition (bounded memory at any scale)."""
+    pending: list[pd.DataFrame] = []
+    pending_rows = 0
+    for pdf in batches:
+        pos = 0
+        n = len(pdf)
+        while pos < n:
+            take = min(chunk_rows - pending_rows, n - pos)
+            pending.append(pdf.iloc[pos : pos + take])
+            pending_rows += take
+            pos += take
+            if pending_rows >= chunk_rows:
+                yield pd.concat(pending, ignore_index=True) if len(
+                    pending
+                ) > 1 else pending[0].reset_index(drop=True)
+                pending, pending_rows = [], 0
+    if pending_rows:
+        yield pd.concat(pending, ignore_index=True) if len(pending) > 1 else pending[
+            0
+        ].reset_index(drop=True)
+
+
+def encode_columns(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    chunk_rows: int = DEFAULT_CHUNK_ROWS,
+    codec: str = "auto",
+    compression: str = "auto",
+) -> DataFrame:
+    """Encode the given columns into the blob/manifest DataFrame.
+
+    One output row per (partition, chunk, column) — the analogue of a
+    Parquet column chunk + its ColumnMetaData
+    (/root/reference/lib/writer.js:424-477), as a queryable table.
+    """
+    cols = columns or df.columns
+    dtypes = {c: logical_dtype(df.schema[c].dataType) for c in cols}
+
+    def encode_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ctx = TaskContext.get()
+        part_id = ctx.partitionId() if ctx is not None else 0
+        seq = 0
+        for pdf in _batch_slices(batches, chunk_rows):
+            rows = []
+            for c in cols:
+                t0 = time.perf_counter()
+                blob, stats = chunklib.encode_chunk(
+                    pdf[c], dtypes[c], codec=codec, compression=compression
+                )
+                wall_ms = (time.perf_counter() - t0) * 1000.0
+                rows.append(
+                    {
+                        "part_id": part_id,
+                        "chunk_seq": seq,
+                        "column": c,
+                        "dtype": dtypes[c],
+                        "codec": stats["codec"],
+                        "compression": stats["compression"],
+                        "n": stats["n"],
+                        "n_nulls": stats["n_nulls"],
+                        "content_bytes": stats["content_bytes"],
+                        "encoded_bytes": stats["encoded_bytes"],
+                        "sha256": stats["sha256"],
+                        "wall_ms": wall_ms,
+                        "data": blob,
+                    }
+                )
+            seq += 1
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(encode_fn, schema=BLOB_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# decode stage
+# --------------------------------------------------------------------------
+
+
+def decode_column(
+    blob_df: DataFrame,
+    column: str,
+    out_name: str | None = None,
+    dtype: str | None = None,
+    out_type: T.DataType | None = None,
+) -> DataFrame:
+    """Decode one column's chunks back to a value DataFrame.
+
+    The scan is column-pruned twice: Catalyst prunes the blob table to
+    (data) after the filter, and the filter on ``column`` prunes chunks —
+    the analogue of the reference's getCursor(columnList)
+    (/root/reference/lib/reader.js:132-144, :227-229)."""
+    out_name = out_name or column
+    rows = blob_df.where(F.col("column") == column).select("data", "dtype")
+    if dtype is None:
+        # dtype is constant per column; one tiny limit-1 job reads it
+        dtype_rows = rows.select("dtype").limit(1).collect()
+        if not dtype_rows:
+            raise ValueError(f"no chunks for column {column}")
+        dtype = dtype_rows[0][0]
+    out_schema = T.StructType(
+        [T.StructField(out_name, out_type or _LOGICAL_TO_SPARK[dtype])]
+    )
+
+    def decode_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for blob in pdf["data"]:
+                series, _ = chunklib.decode_chunk(bytes(blob))
+                yield pd.DataFrame({out_name: series})
+
+    return rows.select("data").mapInPandas(decode_fn, schema=out_schema)
+
+
+VERIFY_SCHEMA = T.StructType(
+    [
+        T.StructField("part_id", T.IntegerType()),
+        T.StructField("chunk_seq", T.LongType()),
+        T.StructField("column", T.StringType()),
+        T.StructField("ok", T.BooleanType()),
+    ]
+)
+
+
+def verify_blobs(blob_df: DataFrame) -> DataFrame:
+    """Decode every chunk and re-hash — distributed bit-identity check
+    (BASELINE.json:15). Returns one row per chunk with ok flag."""
+
+    def verify_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            oks = [
+                chunklib.verify_chunk(bytes(blob), sha)
+                for blob, sha in zip(pdf["data"], pdf["sha256"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "part_id": pdf["part_id"],
+                    "chunk_seq": pdf["chunk_seq"],
+                    "column": pdf["column"],
+                    "ok": oks,
+                }
+            )
+
+    return blob_df.select("part_id", "chunk_seq", "column", "sha256", "data").mapInPandas(
+        verify_fn, schema=VERIFY_SCHEMA
+    )
+
+
+def roundtrip_column(
+    df: DataFrame,
+    column: str,
+    chunk_rows: int = DEFAULT_CHUNK_ROWS,
+    codec: str = "auto",
+    compression: str = "auto",
+) -> DataFrame:
+    """decode(encode(col)) — the identity query every §2 operator exposes
+    to the driver contract (SURVEY.md §2.8)."""
+    blobs = encode_columns(
+        df.select(column), [column], chunk_rows=chunk_rows, codec=codec,
+        compression=compression,
+    )
+    src_type = df.schema[column].dataType
+    return decode_column(
+        blobs, column, dtype=logical_dtype(src_type), out_type=src_type
+    )
+
+
+# --------------------------------------------------------------------------
+# skew handling + lineage/resume (north rule)
+# --------------------------------------------------------------------------
+
+
+def salted_repartition(
+    df: DataFrame, key: str, num_partitions: int, salt_buckets: int = 16
+) -> DataFrame:
+    """Deterministic salt spreads a skewed key (giant repo) over
+    ``salt_buckets`` partitions: shuffle on (key, salt) where salt is a
+    stable hash of the full row identity — no Date.now()/rand, so a
+    resume reproduces the same layout (SURVEY.md §7.3)."""
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets))
+    return df.repartition(num_partitions, F.col(key), salt)
+
+
+def write_encoded(blob_df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Persist blobs + a pure-metadata manifest (lineage) table.
+
+    The manifest is the footer analogue (/root/reference/lib/writer.js:520-569)
+    but queryable: per-chunk codec, sizes, sha256, timing."""
+    blob_df.write.mode(mode).parquet(f"{path}/blobs")
+    blob_df.select(*MANIFEST_COLUMNS).write.mode(mode).parquet(f"{path}/manifest")
+
+
+def read_encoded(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(f"{path}/blobs")
+
+
+def read_manifest(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(f"{path}/manifest")
+
+
+def pending_chunks(all_manifest: DataFrame, done_manifest: DataFrame) -> DataFrame:
+    """Resume-from-checkpoint: chunks not yet committed (north rule),
+    expressed as a broadcast-able anti-join on the chunk identity."""
+    keys = ["part_id", "chunk_seq", "column"]
+    return all_manifest.join(
+        F.broadcast(done_manifest.select(*keys).distinct()), on=keys, how="left_anti"
+    )
+
+
+def encode_summary(blob_df: DataFrame) -> DataFrame:
+    """Per-column rollup of codec choices / sizes — partial aggregation
+    (map-side combine) happens automatically via groupBy."""
+    return (
+        blob_df.groupBy("column", "dtype", "codec", "compression")
+        .agg(
+            F.count("*").alias("chunks"),
+            F.sum("n").alias("values"),
+            F.sum("n_nulls").alias("nulls"),
+            F.sum("content_bytes").alias("content_bytes"),
+            F.sum("encoded_bytes").alias("encoded_bytes"),
+            F.sum("wall_ms").alias("encode_wall_ms"),
+        )
+        .withColumn(
+            "ratio",
+            F.round(F.col("encoded_bytes") / F.greatest(F.col("content_bytes"), F.lit(1)), 4),
+        )
+        .orderBy("column")
+    )

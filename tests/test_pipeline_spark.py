@@ -1,0 +1,106 @@
+"""End-to-end Spark pipeline tests — the reference's integration
+round-trip (/root/reference/test/integration.js:202-261) re-expressed
+over testdata + the synthetic source-code table, with sha256
+bit-identity (BASELINE.json:15)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from parquetjs_spark import pipeline
+from parquetjs_spark.sources.synthetic import source_code_df
+from parquetjs_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def assert_column_roundtrip(spark, df, column):
+    out = pipeline.roundtrip_column(df, column, chunk_rows=512)
+    src = [r[0] for r in df.select(column).collect()]
+    got = [r[0] for r in out.collect()]
+    assert sorted(map(repr, got)) == sorted(map(repr, src)), column
+
+
+@pytest.mark.parametrize(
+    "table,column",
+    [
+        ("lineitem", "l_returnflag"),   # low-card string -> DICT
+        ("lineitem", "l_orderkey"),     # int64 -> FOR
+        ("lineitem", "l_quantity"),     # float64
+        ("lineitem", "l_shipdate"),     # date/timestamp
+        ("events", "event_type"),       # dict strings
+        ("events", "props"),            # JSON strings
+        ("documents", "text"),          # text -> FSST/zlib
+        ("orders", "o_orderdate"),
+    ],
+)
+def test_testdata_roundtrip(spark, table, column):
+    df = load_table(spark, SF, table)
+    assert_column_roundtrip(spark, df, column)
+
+
+def test_full_table_encode_verify(spark):
+    """Every chunk of every lineitem column decodes bit-identical."""
+    df = load_table(spark, SF, "lineitem")
+    blobs = pipeline.encode_columns(df, chunk_rows=1024).cache()
+    try:
+        bad = pipeline.verify_blobs(blobs).where(~F.col("ok")).count()
+        assert bad == 0
+        # sanity: all columns present, sizes recorded
+        summary = pipeline.encode_summary(blobs).collect()
+        assert {r["column"] for r in summary} == set(df.columns)
+        assert all(r["encoded_bytes"] > 0 for r in summary)
+    finally:
+        blobs.unpersist()
+
+
+def test_source_code_table_deterministic(spark):
+    """Same rows regardless of partitioning — the scaling-evidence
+    prerequisite (BASELINE.md protocol)."""
+    a = source_code_df(spark, 200, partitions=2).orderBy("commit").collect()
+    b = source_code_df(spark, 200, partitions=7).orderBy("commit").collect()
+    assert a == b
+    assert len(a) == 200
+
+
+def test_source_code_roundtrip_sha(spark):
+    """The flagship invariant: sha256(decoded.content) == sha256(source)
+    per row (north rule / FIXTURES.md F1)."""
+    df = source_code_df(spark, 500, partitions=4)
+    src = df.select(F.sha2(F.col("content"), 256).alias("h"))
+    out = pipeline.roundtrip_column(df, "content", chunk_rows=256)
+    dec = out.select(F.sha2(F.col("content"), 256).alias("h"))
+    # multiset equality of hashes
+    a = sorted(r["h"] for r in src.collect())
+    b = sorted(r["h"] for r in dec.collect())
+    assert a == b
+
+
+def test_manifest_write_resume(tmp_path, spark):
+    df = load_table(spark, SF, "region")
+    blobs = pipeline.encode_columns(df)
+    pipeline.write_encoded(blobs, str(tmp_path / "enc"))
+    manifest = pipeline.read_manifest(spark, str(tmp_path / "enc"))
+    assert manifest.count() > 0
+    # resume: pretend half the chunks committed; pending = the rest
+    done = manifest.limit(manifest.count() // 2)
+    pending = pipeline.pending_chunks(manifest, done)
+    assert pending.count() == manifest.count() - done.count()
+    # re-read blobs and verify
+    blobs2 = pipeline.read_encoded(spark, str(tmp_path / "enc"))
+    assert pipeline.verify_blobs(blobs2).where(~F.col("ok")).count() == 0
+
+
+def test_salted_repartition_deterministic(spark):
+    df = source_code_df(spark, 300, partitions=2)
+    a = pipeline.salted_repartition(df, "repo", 8)
+    b = pipeline.salted_repartition(df, "repo", 8)
+    pa = a.withColumn("p", F.spark_partition_id()).groupBy("p").count().collect()
+    pb = b.withColumn("p", F.spark_partition_id()).groupBy("p").count().collect()
+    assert sorted(map(tuple, pa)) == sorted(map(tuple, pb))
+
+
+def test_nullable_column_roundtrip(spark):
+    pdf = pd.DataFrame({"v": ["a", None, "b", None, "c"] * 50})
+    df = spark.createDataFrame(pdf)
+    assert_column_roundtrip(spark, df, "v")
