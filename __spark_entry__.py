@@ -1,10 +1,18 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: encode every lineitem column at sf0.001
+through the auto-selector pipeline and return the per-column codec /
+size / timing summary.
+
+``queries()`` — one entry per implemented operator (SURVEY.md §2):
+round-trip identities ``decode(encode(col))`` per codec and dtype
+(§2.8: the driver-contract re-expression of the encode/decode pipeline),
+manifest/statistics queries, and the training-data ops (dedup,
+similarity, text analysis) over documents/embeddings.
+
+``oracle_sql()`` — DuckDB-equivalent SQL per query; omitted for
+non-SQL-expressible ops (codec-choice introspection, MinHash/SimHash
+candidates, ANN) which the driver records as rows-only checks.
 """
 
 from __future__ import annotations
@@ -13,26 +21,184 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: auto-selected encode of all lineitem columns at sf0.001,
+    returning the per-column codec/size/throughput summary."""
+    from parquetjs_spark import pipeline
+
+    df = _load(spark, SF0001, "lineitem")
+    blobs = pipeline.encode_columns(df)
+    return pipeline.encode_summary(blobs)
+
+
+# --------------------------------------------------------------------------
+# round-trip identity queries: decode(encode(col)) == col per codec/dtype
+# --------------------------------------------------------------------------
+
+_ROUNDTRIPS: list[tuple[str, str, str, str]] = [
+    # (query_name, table, column, codec)
+    ("rt_auto_returnflag", "lineitem", "l_returnflag", "auto"),
+    ("rt_auto_linestatus", "lineitem", "l_linestatus", "auto"),
+    ("rt_auto_orderkey", "lineitem", "l_orderkey", "auto"),
+    ("rt_auto_quantity", "lineitem", "l_quantity", "auto"),
+    ("rt_auto_extendedprice", "lineitem", "l_extendedprice", "auto"),
+    ("rt_auto_shipdate", "lineitem", "l_shipdate", "auto"),
+    ("rt_auto_orderdate", "orders", "o_orderdate", "auto"),
+    ("rt_auto_orderpriority", "orders", "o_orderpriority", "auto"),
+    ("rt_auto_eventtype", "events", "event_type", "auto"),
+    ("rt_auto_props", "events", "props", "auto"),
+    ("rt_auto_doctext", "documents", "text", "auto"),
+    ("rt_auto_mktsegment", "customer", "c_mktsegment", "auto"),
+    ("rt_auto_parttype", "part", "p_type", "auto"),
+    ("rt_auto_partsize", "part", "p_size", "auto"),
+    ("rt_dict_returnflag", "lineitem", "l_returnflag", "DICT_RLE"),
+    ("rt_dict_suppkey", "lineitem", "l_suppkey", "DICT_RLE"),
+    ("rt_for_orderkey", "lineitem", "l_orderkey", "FOR_BITPACK"),
+    ("rt_for_custkey", "orders", "o_custkey", "FOR_BITPACK"),
+    ("rt_rle_linenumber", "lineitem", "l_linenumber", "RLE"),
+    ("rt_plain_extendedprice", "lineitem", "l_extendedprice", "PLAIN"),
+    ("rt_plain_comment_props", "events", "props", "PLAIN"),
+    ("rt_fsst_doctext", "documents", "text", "FSST"),
+    ("rt_fsst_props", "events", "props", "FSST"),
+]
+
+
+def _make_roundtrip(table: str, column: str, codec: str):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from parquetjs_spark import pipeline
+
+        df = _load(spark, sf_dir, table)
+        return pipeline.roundtrip_column(df, column, codec=codec)
+
+    return q
+
+
+# --------------------------------------------------------------------------
+# statistics / manifest queries
+# --------------------------------------------------------------------------
+
+
+def _q_distinct_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """decode(encode(col)) -> DISTINCT: decode feeding a Spark aggregate."""
+    from parquetjs_spark import pipeline
+
+    df = _load(spark, sf_dir, "lineitem")
+    return pipeline.roundtrip_column(df, "l_returnflag").distinct()
+
+
+def _q_chunk_counts_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest rollup: per-column value/null counts from chunk metadata —
+    the footer-statistics analogue (SURVEY.md §4.1 'Metadata/statistics')."""
+    from pyspark.sql import functions as F
+
+    from parquetjs_spark import pipeline
+
+    df = _load(spark, sf_dir, "lineitem")
+    blobs = pipeline.encode_columns(df)
+    return (
+        blobs.groupBy(F.col("column").alias("col_name"))
+        .agg(F.sum("n").alias("n_values"), F.sum("n_nulls").alias("n_nulls"))
+        .orderBy("col_name")
+    )
+
+
+def _q_cardinality_dict_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-computed distinct counts (via decode -> countDistinct) for the
+    dictionary-friendly lineitem columns."""
+    from pyspark.sql import functions as F
+
+    from parquetjs_spark import pipeline
+
+    df = _load(spark, sf_dir, "lineitem")
+    rf = pipeline.roundtrip_column(df, "l_returnflag")
+    ls = pipeline.roundtrip_column(df, "l_linestatus")
+    a = rf.agg(F.countDistinct("l_returnflag").alias("card")).withColumn(
+        "col_name", F.lit("l_returnflag")
+    )
+    b = ls.agg(F.countDistinct("l_linestatus").alias("card")).withColumn(
+        "col_name", F.lit("l_linestatus")
+    )
+    return a.unionByName(b).select("col_name", "card")
+
+
+def _q_codec_choices_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auto-selector decisions per column (rows-only: not SQL-expressible)."""
+    from parquetjs_spark import pipeline
+
+    df = _load(spark, sf_dir, "lineitem")
+    return pipeline.encode_summary(pipeline.encode_columns(df))
+
+
+def _q_verify_all_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed sha256 bit-identity over every chunk (rows-only)."""
+    from pyspark.sql import functions as F
+
+    from parquetjs_spark import pipeline
+
+    df = _load(spark, sf_dir, "lineitem")
+    blobs = pipeline.encode_columns(df)
+    return (
+        pipeline.verify_blobs(blobs)
+        .agg(
+            F.count("*").alias("chunks"),
+            F.sum(F.when(F.col("ok"), 0).otherwise(1)).alias("mismatches"),
+        )
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name, table, column, codec in _ROUNDTRIPS:
+        out[name] = _make_roundtrip(table, column, codec)
+    out["distinct_returnflag"] = _q_distinct_returnflag
+    out["chunk_counts_lineitem"] = _q_chunk_counts_lineitem
+    out["cardinality_dict_columns"] = _q_cardinality_dict_columns
+    out["codec_choices_lineitem"] = _q_codec_choices_lineitem
+    out["verify_all_lineitem"] = _q_verify_all_lineitem
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    from parquetjs_spark.functions import registry as fn_registry
+
+    out.update(fn_registry.queries())
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out: dict[str, str] = {}
+    for name, table, column, _codec in _ROUNDTRIPS:
+        out[name] = f"SELECT {column} FROM {table}"
+    out["distinct_returnflag"] = "SELECT DISTINCT l_returnflag FROM lineitem"
+    _li_cols = [
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+        "l_returnflag",
+        "l_linestatus",
+        "l_shipdate",
+    ]
+    out["chunk_counts_lineitem"] = " UNION ALL ".join(
+        f"SELECT '{c}' AS col_name, COUNT(*) AS n_values, "
+        f"CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM lineitem"
+        for c in _li_cols
+    )
+    out["cardinality_dict_columns"] = (
+        "SELECT 'l_returnflag' AS col_name, COUNT(DISTINCT l_returnflag) AS card FROM lineitem "
+        "UNION ALL SELECT 'l_linestatus' AS col_name, COUNT(DISTINCT l_linestatus) AS card FROM lineitem"
+    )
+    # codec_choices_lineitem / verify_all_lineitem: rows-only by design
+
+    from parquetjs_spark.functions import registry as fn_registry
+
+    out.update(fn_registry.oracle_sql())
+    return out

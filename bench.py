@@ -1,0 +1,153 @@
+"""Benchmark: headline encode/decode throughput + per-query timings.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., plus throughput extras}
+
+Env:
+  SPARK_GRAFT_SF_DIR   input dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[N] parallelism (default 32)
+  BENCH_SOURCE_ROWS    synthetic source_code rows (default 20000)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from parquetjs_spark import pipeline
+from parquetjs_spark.sources.synthetic import source_code_df
+from parquetjs_spark.sources.tables import get_spark, load_table
+
+
+def timed(fn):
+    t0 = time.perf_counter()
+    out = fn()
+    return out, time.perf_counter() - t0
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    src_rows = int(os.environ.get("BENCH_SOURCE_ROWS", "20000"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    spark = get_spark("bench", cores=cpus, shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    # q1: full-table auto encode of lineitem (all 11 columns) + manifest agg
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    lineitem = lineitem.repartition(cpus * 2).cache()
+    n_li = lineitem.count()  # materialize cache outside the timing
+
+    def q1():
+        blobs = pipeline.encode_columns(lineitem)
+        return pipeline.encode_summary(blobs).collect()
+
+    summary, queries["q1_encode_lineitem"] = timed(q1)
+    content_mb = sum(r["content_bytes"] for r in summary) / 1e6
+    encoded_mb = sum(r["encoded_bytes"] for r in summary) / 1e6
+    extras["lineitem_content_mb"] = round(content_mb, 2)
+    extras["lineitem_size_ratio"] = round(encoded_mb / content_mb, 4)
+    extras["lineitem_encode_mb_s"] = round(
+        content_mb / queries["q1_encode_lineitem"], 2
+    )
+
+    # q2: encode + decode + sha-verify round-trip of lineitem
+    def q2():
+        blobs = pipeline.encode_columns(lineitem)
+        return pipeline.verify_blobs(blobs).where(~F.col("ok")).count()
+
+    bad, queries["q2_roundtrip_verify_lineitem"] = timed(q2)
+    assert bad == 0, f"{bad} chunk mismatches"
+
+    # q3: source-code table content encode (the north-rule headline:
+    # MB/s of content bytes through the auto-selector)
+    src = source_code_df(spark, src_rows, partitions=cpus * 2).cache()
+    src_content_bytes = src.select(
+        F.sum(F.octet_length("content")).alias("b")
+    ).collect()[0]["b"]
+
+    def q3():
+        blobs = pipeline.encode_columns(src, ["repo", "path", "commit", "lang", "content"])
+        return pipeline.encode_summary(blobs).collect()
+
+    src_summary, queries["q3_encode_source_code"] = timed(q3)
+    src_mb = src_content_bytes / 1e6
+    extras["source_content_mb"] = round(src_mb, 2)
+    extras["source_encode_mb_s"] = round(src_mb / queries["q3_encode_source_code"], 2)
+    src_enc = sum(r["encoded_bytes"] for r in src_summary)
+    src_raw = sum(r["content_bytes"] for r in src_summary)
+    extras["source_size_ratio"] = round(src_enc / src_raw, 4)
+
+    # q4: decode throughput — content column back out + count
+    def q4():
+        blobs = pipeline.encode_columns(src, ["content"])
+        out = pipeline.decode_column(blobs, "content", dtype="string")
+        return out.select(F.sum(F.octet_length("content"))).collect()[0][0]
+
+    dec_bytes, queries["q4_decode_source_content"] = timed(q4)
+    assert dec_bytes == src_content_bytes
+    extras["source_decode_mb_s"] = round(src_mb / queries["q4_decode_source_content"], 2)
+
+    # q5: events string columns (JSON-ish props) auto encode
+    events = load_table(spark, sf_dir, "events").repartition(cpus).cache()
+    events.count()
+
+    def q5():
+        blobs = pipeline.encode_columns(events)
+        return pipeline.encode_summary(blobs).collect()
+
+    _, queries["q5_encode_events"] = timed(q5)
+
+    # q6: dedup + text ops over documents
+    docs = load_table(spark, sf_dir, "documents").cache()
+    docs.count()
+
+    def q6():
+        from parquetjs_spark.functions import dedup, text
+
+        a = dedup.minhash_dedup_pairs(docs).count()
+        b = text.quality_metrics(docs).count()
+        return a + b
+
+    _, queries["q6_dedup_text_docs"] = timed(q6)
+
+    # q7: ANN top-k over embeddings
+    embs = load_table(spark, sf_dir, "embeddings").cache()
+    embs.count()
+
+    def q7():
+        from parquetjs_spark.functions import similarity
+
+        return similarity.topk_for_id(embs, 0, 10).collect()
+
+    _, queries["q7_ann_topk"] = timed(q7)
+
+    total = sum(queries.values())
+    result = {
+        "metric": "encode+decode pipeline wall time (content throughput in extras)",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in queries.items()},
+        "sf": sf,
+        "cpus": cpus,
+        "lineitem_rows": n_li,
+        "source_rows": src_rows,
+        **extras,
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

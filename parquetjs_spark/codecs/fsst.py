@@ -35,9 +35,41 @@ _SINGLE = [bytes([i]) for i in range(256)]
 _SINGLE_ARR = np.array(_SINGLE, dtype=object)
 
 
+_TERM = object()  # trie terminal marker
+
+
+def _trie_regex(node: dict) -> bytes:
+    """Emit a trie-structured alternation.  Children are tried before the
+    node's own terminal (the trailing empty alternative), so regex
+    backtracking yields exactly greedy longest-match — at a per-position
+    cost of the trie depth (<= 8) instead of one try per symbol."""
+    branches = []
+    for byte, child in node.items():
+        if byte is _TERM:
+            continue
+        sub = _trie_regex(child)
+        branches.append(re.escape(bytes([byte])) + sub)
+    if not branches:
+        return b""
+    alt = b"|".join(branches)
+    if _TERM in node:
+        return b"(?:" + alt + b"|)"
+    return b"(?:" + alt + b")"
+
+
 def _build_pattern(symbols: list[bytes]) -> re.Pattern:
-    alts = sorted(symbols, key=len, reverse=True)
-    parts = [re.escape(s) for s in alts]
+    trie: dict = {}
+    for s in symbols:
+        node = trie
+        for b in s:
+            node = node.setdefault(b, {})
+        node[_TERM] = True
+    # top level: trie alternatives (longest-match), then catch-all byte
+    parts = []
+    for byte, child in trie.items():
+        if byte is _TERM:
+            continue
+        parts.append(re.escape(bytes([byte])) + _trie_regex(child))
     parts.append(b"(?s:.)")  # catch-all single byte -> escape
     return re.compile(b"|".join(parts))
 
@@ -83,13 +115,11 @@ def compress(data: bytes, symbols: list[bytes]) -> bytes:
         return out.tobytes()
     code = {s: bytes([i]) for i, s in enumerate(symbols)}
     esc = bytes([ESCAPE])
-
-    def repl(m: re.Match) -> bytes:
-        tok = m.group(0)
-        c = code.get(tok)
-        return c if c is not None else esc + tok
-
-    return _build_pattern(symbols).sub(repl, data)
+    tokens = _build_pattern(symbols).findall(data)
+    g = code.get
+    # non-symbol tokens are single bytes by construction -> escape them.
+    # NB: b"\x00" (code 0) is falsy — test against None, never truthiness.
+    return b"".join([c if (c := g(t)) is not None else esc + t for t in tokens])
 
 
 def decompress(payload: bytes, symbols: list[bytes]) -> bytes:
@@ -98,45 +128,58 @@ def decompress(payload: bytes, symbols: list[bytes]) -> bytes:
     if n == 0:
         return b""
     is_ff = arr == ESCAPE
-    if not is_ff.any():
-        symarr = np.empty(len(symbols), dtype=object)
-        symarr[:] = symbols
-        return b"".join(symarr[arr])
     # classify positions: walk runs of 0xFF — inside a run that starts at a
     # code position, bytes alternate escape/literal; an odd-length run
     # escapes the first non-FF byte after it.
+    # Key invariant: runs are maximal, so the literal carried out of an
+    # odd-length FF run is always consumed by the following non-FF byte —
+    # it can never reach another FF run.  Hence, inside each FF run,
+    # even offsets are escapes and odd offsets are literals, and an
+    # odd-length run additionally marks the byte right after it.
+    # That makes classification loop-free:
     kind = np.zeros(n, dtype=np.uint8)  # 0=code 1=escape-marker 2=literal
-    rv, rl = run_lengths(is_ff.view(np.uint8))
-    pos = 0
-    carry_literal = False  # previous run of FFs had odd length
-    for v, length in zip(rv.tolist(), rl.tolist()):
-        end = pos + length
-        if v == 0:
-            if carry_literal:
-                kind[pos] = 2
-                carry_literal = False
-        else:
-            start = pos
-            if carry_literal:  # first FF of this run is itself a literal
-                kind[start] = 2
-                start += 1
-                carry_literal = False
-            if start < end:
-                kind[start:end:2] = 1  # escape markers
-                kind[start + 1 : end : 2] = 2  # escaped literals
-                if (end - start) % 2 == 1:
-                    carry_literal = True
-        pos = end
-    parts = np.empty(n, dtype=object)
+    if is_ff.any():
+        rv, rl = run_lengths(is_ff.view(np.uint8))
+        run_starts = np.zeros(len(rl), dtype=np.int64)
+        np.cumsum(rl[:-1], out=run_starts[1:])
+        ffsel = rv == 1
+        ff_starts = run_starts[ffsel]
+        ff_lens = rl[ffsel]
+        pos_ff = np.flatnonzero(is_ff)
+        off = pos_ff - np.repeat(ff_starts, ff_lens)
+        kind[pos_ff] = np.where(off % 2 == 0, 1, 2).astype(np.uint8)
+        ends = ff_starts + ff_lens
+        carry = (ff_lens % 2 == 1) & (ends < n)
+        kind[ends[carry]] = 2
+    # vectorized expansion: per-position output length -> exclusive cumsum
+    # -> one grouped scatter per distinct symbol (<= 255 C-speed scatters)
+    symlen = np.zeros(256, dtype=np.int64)
+    for i, s in enumerate(symbols):
+        symlen[i] = len(s)
     code_mask = kind == 0
     lit_mask = kind == 2
-    if code_mask.any():
-        symarr = np.empty(len(symbols), dtype=object)
-        symarr[:] = symbols
-        parts[code_mask] = symarr[arr[code_mask]]
-    parts[lit_mask] = _SINGLE_ARR[arr[lit_mask]]
-    parts[kind == 1] = b""
-    return b"".join(parts)
+    # escapes read symlen[255] == 0 (code 255 is never a symbol)
+    lens = symlen[arr]
+    lens[kind != 0] = 0
+    lens[lit_mask] = 1
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    total = int(starts[-1] + lens[-1]) if n else 0
+    out = np.empty(total, dtype=np.uint8)
+    out[starts[lit_mask]] = arr[lit_mask]
+    codes = arr[code_mask]
+    code_starts = starts[code_mask].astype(np.int64)
+    # sort-free expansion: pad the symbol table into a (256 x 8) byte
+    # matrix; one masked gather pulls every symbol's bytes in stream
+    # order, one masked scatter places them
+    symmat = np.zeros((256, MAX_SYMBOL_LEN), dtype=np.uint8)
+    for i, s in enumerate(symbols):
+        symmat[i, : len(s)] = np.frombuffer(s, dtype=np.uint8)
+    width = np.arange(MAX_SYMBOL_LEN)
+    sel = width[None, :] < symlen[codes][:, None]
+    idx_mat = code_starts[:, None] + width[None, :]
+    out[idx_mat[sel]] = symmat[codes][sel]
+    return out.tobytes()
 
 
 def serialize_table(symbols: list[bytes]) -> bytes:

@@ -1,0 +1,208 @@
+"""Driver-contract queries/oracles for the training-data operators
+(dedup, similarity, text analysis, multimodal plumbing)."""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# --- text ---------------------------------------------------------------
+
+
+def q_doc_token_counts(spark, sf_dir):
+    from . import text
+
+    return text.token_counts(_docs(spark, sf_dir))
+
+
+def q_doc_quality(spark, sf_dir):
+    from . import text
+
+    return text.quality_metrics(_docs(spark, sf_dir))
+
+
+def q_doc_fingerprints(spark, sf_dir):
+    from . import text
+
+    return text.fingerprints(_docs(spark, sf_dir))
+
+
+def q_doc_lang_id(spark, sf_dir):
+    from . import text
+
+    return text.language_id(_docs(spark, sf_dir))
+
+
+def q_doc_rolling_fp(spark, sf_dir):
+    from . import text
+
+    return text.rolling_fingerprint(_docs(spark, sf_dir))
+
+
+# --- dedup ----------------------------------------------------------------
+
+
+def q_exact_dup_groups(spark, sf_dir):
+    from . import dedup
+
+    return dedup.exact_dup_groups(_docs(spark, sf_dir))
+
+
+def q_distinct_doc_count(spark, sf_dir):
+    from . import dedup
+
+    return dedup.distinct_doc_count(_docs(spark, sf_dir))
+
+
+def q_char_jaccard_adjacent(spark, sf_dir):
+    from . import dedup
+
+    return dedup.char_jaccard_adjacent(_docs(spark, sf_dir))
+
+
+def q_minhash_dedup_pairs(spark, sf_dir):
+    from . import dedup
+
+    return dedup.minhash_dedup_pairs(_docs(spark, sf_dir))
+
+
+def q_simhash_fingerprints(spark, sf_dir):
+    from . import dedup
+
+    return dedup.simhash_fingerprints(_docs(spark, sf_dir))
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    from . import dedup
+
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir))
+
+
+# --- similarity -------------------------------------------------------------
+
+
+def q_emb_dims(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    return (
+        _embs(spark, sf_dir)
+        .select(F.size("embedding").cast("long").alias("dim"))
+        .distinct()
+    )
+
+
+def q_emb_label_counts(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    return _embs(spark, sf_dir).groupBy("label").agg(F.count("*").alias("n"))
+
+
+def q_emb_topk_vec0(spark, sf_dir):
+    from . import similarity
+
+    return similarity.topk_for_id(_embs(spark, sf_dir), query_id=0, k=10)
+
+
+def q_emb_lsh_topk_vec0(spark, sf_dir):
+    from . import similarity
+
+    return similarity.lsh_topk_for_id(_embs(spark, sf_dir), query_id=0, k=5)
+
+
+def q_emb_near_dup_pairs(spark, sf_dir):
+    from . import similarity
+
+    return similarity.embedding_near_dup_pairs(_embs(spark, sf_dir))
+
+
+# --- multimodal --------------------------------------------------------------
+
+
+def q_media_metadata(spark, sf_dir):
+    from . import multimodal
+
+    return multimodal.extract_metadata(multimodal.as_media_table(_docs(spark, sf_dir)))
+
+
+def q_media_features(spark, sf_dir):
+    from . import multimodal
+
+    return multimodal.fake_features(multimodal.as_media_table(_docs(spark, sf_dir)))
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "doc_token_counts": q_doc_token_counts,
+        "doc_quality": q_doc_quality,
+        "doc_fingerprints": q_doc_fingerprints,
+        "doc_lang_id": q_doc_lang_id,
+        "doc_rolling_fp": q_doc_rolling_fp,
+        "exact_dup_groups": q_exact_dup_groups,
+        "distinct_doc_count": q_distinct_doc_count,
+        "char_jaccard_adjacent": q_char_jaccard_adjacent,
+        "minhash_dedup_pairs": q_minhash_dedup_pairs,
+        "simhash_fingerprints": q_simhash_fingerprints,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "emb_dims": q_emb_dims,
+        "emb_label_counts": q_emb_label_counts,
+        "emb_topk_vec0": q_emb_topk_vec0,
+        "emb_lsh_topk_vec0": q_emb_lsh_topk_vec0,
+        "emb_near_dup_pairs": q_emb_near_dup_pairs,
+        "media_metadata": q_media_metadata,
+        "media_features": q_media_features,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "doc_token_counts": (
+            "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens "
+            "FROM documents"
+        ),
+        "doc_quality": (
+            "SELECT doc_id, CAST(length(text) AS BIGINT) AS text_len, "
+            "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, "
+            "CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens, "
+            "CAST(list_max(list_transform(string_split(text, ' '), x -> length(x))) AS BIGINT) AS max_token_len "
+            "FROM documents"
+        ),
+        "doc_fingerprints": "SELECT doc_id, md5(text) AS fp FROM documents",
+        # doc_lang_id / doc_rolling_fp: heuristic + custom hash -> rows-only
+        "exact_dup_groups": (
+            "SELECT text, COUNT(*) AS dup_count FROM documents "
+            "GROUP BY text HAVING COUNT(*) > 1"
+        ),
+        "distinct_doc_count": (
+            "SELECT COUNT(DISTINCT text) AS distinct_docs FROM documents"
+        ),
+        "char_jaccard_adjacent": (
+            "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            "CAST(len(list_intersect(a.cs, b.cs)) AS BIGINT) AS inter_sz, "
+            "CAST(len(list_distinct(list_concat(a.cs, b.cs))) AS BIGINT) AS union_sz "
+            "FROM (SELECT doc_id, list_distinct(string_split(text, '')) AS cs FROM documents) a "
+            "JOIN (SELECT doc_id, list_distinct(string_split(text, '')) AS cs FROM documents) b "
+            "ON b.doc_id = a.doc_id + 1"
+        ),
+        # minhash/simhash/ngram pairs: custom stable hashing -> rows-only
+        "emb_dims": "SELECT DISTINCT CAST(len(embedding) AS BIGINT) AS dim FROM embeddings",
+        "emb_label_counts": (
+            "SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label"
+        ),
+        # emb topk / near-dup: float-order sensitive -> rows-only
+        "media_metadata": (
+            "SELECT doc_id, 'image/fake' AS media_type, "
+            "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
+            "substr(sha256(text), 1, 16) AS sha_prefix FROM documents"
+        ),
+        # media_features: deterministic fake encoder -> rows-only
+    }

@@ -1,0 +1,162 @@
+"""Similarity search over the embeddings table (array<float> column).
+
+Two paths per the scale playbook:
+  * brute-force cosine top-k — baseline; one narrow vectorized map
+    (NumPy matmul per Arrow batch against the broadcast query vector)
+    followed by a global top-k (Spark sorts only k rows per partition —
+    TakeOrderedAndProject, no full shuffle).
+  * LSH-bucketed (random hyperplanes) — the scale path: candidate set
+    shrinks to matching signature buckets before exact re-ranking, so
+    cost per query is sublinear in table size.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+_SCORE_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("score_u", T.LongType()),  # cosine * 1e6, rounded
+    ]
+)
+
+
+def _batch_scores(
+    batches: Iterator[pd.DataFrame], q: np.ndarray
+) -> Iterator[pd.DataFrame]:
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    for pdf in batches:
+        mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1e-12
+        sims = (mat @ qn) / norms
+        yield pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"],
+                "score_u": np.rint(sims * 1_000_000).astype(np.int64),
+            }
+        )
+
+
+def brute_force_topk(
+    embeddings: DataFrame, query_vec: list[float] | np.ndarray, k: int = 10
+) -> DataFrame:
+    """Exact cosine top-k: vectorized scoring + TakeOrderedAndProject."""
+    q = np.asarray(query_vec, dtype=np.float64)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        yield from _batch_scores(batches, q)
+
+    scored = embeddings.select("vec_id", "embedding").mapInPandas(
+        fn, schema=_SCORE_SCHEMA
+    )
+    return scored.orderBy(F.desc("score_u"), F.asc("vec_id")).limit(k)
+
+
+def topk_for_id(embeddings: DataFrame, query_id: int = 0, k: int = 10) -> DataFrame:
+    """Top-k neighbors of a stored vector (excluding itself)."""
+    row = embeddings.where(F.col("vec_id") == query_id).select("embedding").head()
+    if row is None:
+        raise ValueError(f"vec_id {query_id} not found")
+    q = np.asarray(row[0], dtype=np.float64)
+    return (
+        brute_force_topk(
+            embeddings.where(F.col("vec_id") != query_id), q, k
+        )
+    )
+
+
+# --- LSH (random hyperplanes) -----------------------------------------------
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def lsh_signatures(embeddings: DataFrame, n_planes: int = 16, seed: int = 42) -> DataFrame:
+    """(vec_id, bucket) — sign pattern under `n_planes` fixed random
+    hyperplanes, packed into one long.  Deterministic seed: bucketing is
+    reproducible across runs/executors (resume-safe)."""
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("bucket", T.LongType()),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        planes = None
+        weights = (1 << np.arange(n_planes, dtype=np.uint64)).astype(np.uint64)
+        for pdf in batches:
+            mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            if planes is None:
+                planes = _hyperplanes(mat.shape[1], n_planes, seed)
+            bits = (mat @ planes.T) > 0
+            buckets = (bits.astype(np.uint64) * weights).sum(axis=1).view(np.int64)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "bucket": buckets})
+
+    return embeddings.select("vec_id", "embedding").mapInPandas(fn, schema=schema)
+
+
+def lsh_topk_for_id(
+    embeddings: DataFrame,
+    query_id: int = 0,
+    k: int = 10,
+    n_planes: int = 8,
+) -> DataFrame:
+    """ANN: restrict to the query's LSH bucket, then exact re-rank.
+    At scale the bucket filter prunes ~2^-n_planes of the table before
+    any exact math."""
+    sigs = lsh_signatures(embeddings, n_planes)
+    qrow = sigs.where(F.col("vec_id") == query_id).head()
+    if qrow is None:
+        raise ValueError(f"vec_id {query_id} not found")
+    bucket = qrow["bucket"]
+    cand_ids = sigs.where(
+        (F.col("bucket") == bucket) & (F.col("vec_id") != query_id)
+    ).select("vec_id")
+    cands = embeddings.join(F.broadcast(cand_ids), "vec_id")
+    return topk_for_id(cands.unionByName(
+        embeddings.where(F.col("vec_id") == query_id)
+    ), query_id, k)
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame, n_planes: int = 12, min_score_u: int = 950_000
+) -> DataFrame:
+    """Embedding-cosine near-dup detection: LSH bucket self-join then
+    exact cosine filter (integer-scaled score)."""
+    sigs = lsh_signatures(embeddings, n_planes)
+    a = sigs.select(F.col("vec_id").alias("vec_a"), "bucket")
+    b = sigs.select(F.col("vec_id").alias("vec_b"), "bucket")
+    cands = a.join(b, "bucket").where(F.col("vec_a") < F.col("vec_b")).select(
+        "vec_a", "vec_b"
+    )
+    ea = embeddings.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    eb = embeddings.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    joined = cands.join(ea, "vec_a").join(eb, "vec_b")
+    dot = F.aggregate(
+        F.zip_with("emb_a", "emb_b", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    score_u = F.round(dot / (norm(F.col("emb_a")) * norm(F.col("emb_b"))) * 1_000_000)
+    return (
+        joined.withColumn("score_u", score_u.cast("long"))
+        .where(F.col("score_u") >= min_score_u)
+        .select("vec_a", "vec_b", "score_u")
+    )
