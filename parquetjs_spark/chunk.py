@@ -212,10 +212,16 @@ def _decode_int_values(buf: memoryview, n: int, dtype: str, codec: str):
     raise ValueError(f"codec {codec} unsupported for {dtype}")
 
 
-def _encode_fsst_strings(vals: list[bytes], table: list[bytes] | None) -> bytes:
+def _encode_fsst_strings(
+    vals: list[bytes],
+    table: list[bytes] | None,
+    fsst_state: dict | None = None,
+) -> bytes:
     concat = b"".join(vals)
     if table is None:
         table = fsst.train(concat[:SAMPLE_BYTES])
+        if fsst_state is not None:
+            fsst_state["table"] = table
     lens = np.fromiter((len(v) for v in vals), dtype=np.int64, count=len(vals))
     lens_enc = for_bp.encode(lens)
     payload = fsst.compress(concat, table)
@@ -237,7 +243,7 @@ def _decode_fsst_strings(buf: memoryview, n: int) -> list[bytes]:
     return [concat[offs[i] : offs[i + 1]] for i in range(n)]
 
 
-def _encode_values(vals, dtype: str, codec: str, fsst_table=None) -> bytes:
+def _encode_values(vals, dtype: str, codec: str, fsst_table=None, fsst_state=None) -> bytes:
     if dtype in _INT_LIKE:
         return _encode_int_values(np.asarray(vals), dtype, codec)
     if dtype in ("float64", "float32"):
@@ -252,7 +258,7 @@ def _encode_values(vals, dtype: str, codec: str, fsst_table=None) -> bytes:
     if codec == DICT_RLE:
         return dictionary.encode(vals, "BYTE_ARRAY")
     if codec == FSST:
-        return _encode_fsst_strings(vals, fsst_table)
+        return _encode_fsst_strings(vals, fsst_table, fsst_state)
     raise ValueError(f"codec {codec} unsupported for {dtype}")
 
 
@@ -282,8 +288,12 @@ def _decode_values(buf: memoryview, n: int, dtype: str, codec: str):
 # --------------------------------------------------------------------------
 
 
-def select_codec(vals, dtype: str) -> tuple[str, dict]:
-    """Return (codec_name, selector_stats)."""
+def select_codec(vals, dtype: str, fsst_state: dict | None = None) -> tuple[str, dict]:
+    """Return (codec_name, selector_stats).
+
+    ``fsst_state`` is an optional cross-chunk cache (one per task+column):
+    a trained symbol table is reused for sizing and encoding instead of
+    retraining per chunk — training cost amortizes over the partition."""
     n = len(vals)
     info: dict = {"n_sampled": min(n, SAMPLE_VALUES)}
     if n == 0:
@@ -320,7 +330,11 @@ def select_codec(vals, dtype: str) -> tuple[str, dict]:
     if ds["cardinality"] > max(16, 0.05 * len(sample_vals)) and total > 0:
         concat = b"".join(sample_vals)[:SAMPLE_BYTES]
         if len(concat) >= 256:
-            table = fsst.train(concat)
+            table = None if fsst_state is None else fsst_state.get("table")
+            if table is None:
+                table = fsst.train(concat)
+                if fsst_state is not None:
+                    fsst_state["table"] = table
             fsst_ratio = len(fsst.compress(concat, table)) / len(concat)
             cands[FSST] = int(fsst_ratio * total) + 2 * len(table) + n + 16
             info["fsst_ratio"] = round(fsst_ratio, 4)
@@ -338,16 +352,17 @@ def encode_chunk(
     dtype: str,
     codec: str = "auto",
     compression: str = "auto",
-    fsst_table: list[bytes] | None = None,
+    fsst_state: dict | None = None,
 ) -> tuple[bytes, dict]:
     vals, valid = series_to_values(series, dtype)
     n = len(valid)
     n_nulls = int(n - valid.sum())
     sel_info: dict = {}
     if codec == "auto":
-        codec, sel_info = select_codec(vals, dtype)
+        codec, sel_info = select_codec(vals, dtype, fsst_state)
 
-    values_raw = _encode_values(vals, dtype, codec, fsst_table)
+    fsst_table = None if fsst_state is None else fsst_state.get("table")
+    values_raw = _encode_values(vals, dtype, codec, fsst_table, fsst_state)
 
     if compression == "auto":
         # keep zlib only if it buys >= 3% (decode cost isn't free)

@@ -22,9 +22,9 @@ escape/literal/code positions are resolved from runs of 0xFF
 from __future__ import annotations
 
 import re
-from collections import Counter
 
 import numpy as np
+import pandas as pd
 
 from .util import run_lengths
 
@@ -79,26 +79,52 @@ def _tokenize(data: bytes, symbols: list[bytes]) -> list[bytes]:
     return [m.group(0) for m in pat.finditer(data)]
 
 
-def train(sample: bytes, rounds: int = 4, max_sample: int = 1 << 16) -> list[bytes]:
-    """Build a symbol table from a sample (bounded cost per SURVEY.md §7.3)."""
+def train(sample: bytes, rounds: int = 4, max_sample: int = 1 << 15) -> list[bytes]:
+    """Build a symbol table from a sample (bounded cost per SURVEY.md §7.3).
+
+    Gain counting is vectorized: tokens are factorized to integer codes,
+    single-token gains come from one bincount, and adjacent-pair merge
+    gains from one unique() over packed code pairs — no Python-level
+    Counter over the token stream."""
     sample = sample[:max_sample]
     if not sample:
         return []
     symbols: list[bytes] = []
     for _ in range(rounds):
-        tokens = _tokenize(sample, symbols) if symbols else [
-            sample[i : i + 1] for i in range(len(sample))
-        ]
-        gains: Counter[bytes] = Counter()
-        # singles: escape(2B) -> code(1B) saves 1 byte per occurrence
-        for t in tokens:
-            gains[t] += len(t)
-        # merges of adjacent tokens (<= MAX_SYMBOL_LEN)
-        for a, b in zip(tokens, tokens[1:]):
-            if len(a) + len(b) <= MAX_SYMBOL_LEN:
-                gains[a + b] += len(a) + len(b)
+        if symbols:
+            tokens = _tokenize(sample, symbols)
+        else:
+            tokens = [sample[i : i + 1] for i in range(len(sample))]
+        tok_arr = np.empty(len(tokens), dtype=object)
+        tok_arr[:] = tokens
+        codes, uniq = pd.factorize(tok_arr, use_na_sentinel=False)
+        uniq_lens = np.fromiter((len(u) for u in uniq), dtype=np.int64, count=len(uniq))
+        # singles gain: count * len  (escape 2B -> code 1B per byte covered)
+        single_gain = np.bincount(codes, minlength=len(uniq)) * uniq_lens
+        gains: dict[bytes, int] = {
+            bytes(uniq[i]): int(single_gain[i]) for i in np.flatnonzero(single_gain)
+        }
+        # merge gains: adjacent code pairs, one unique() pass
+        if len(codes) > 1:
+            k = len(uniq)
+            pair_ids, pair_counts = np.unique(
+                codes[:-1].astype(np.int64) * k + codes[1:], return_counts=True
+            )
+            a_idx = pair_ids // k
+            b_idx = pair_ids % k
+            pair_lens = uniq_lens[a_idx] + uniq_lens[b_idx]
+            ok = pair_lens <= MAX_SYMBOL_LEN
+            for ai, bi, cnt, ln in zip(
+                a_idx[ok].tolist(),
+                b_idx[ok].tolist(),
+                pair_counts[ok].tolist(),
+                pair_lens[ok].tolist(),
+            ):
+                cand = bytes(uniq[ai]) + bytes(uniq[bi])
+                gains[cand] = gains.get(cand, 0) + cnt * ln
         # keep the best candidates; gain must beat the 1-byte code cost
-        best = [s for s, g in gains.most_common(MAX_SYMBOLS) if g > len(s)]
+        ranked = sorted(gains.items(), key=lambda kv: -kv[1])[:MAX_SYMBOLS]
+        best = [s for s, g in ranked if g > len(s)]
         if best == symbols:
             break
         symbols = best

@@ -143,12 +143,19 @@ def encode_columns(
         ctx = TaskContext.get()
         part_id = ctx.partitionId() if ctx is not None else 0
         seq = 0
+        # per-task per-column FSST state: symbol tables train once and
+        # amortize over every chunk of the partition
+        fsst_states: dict[str, dict] = {c: {} for c in cols}
         for pdf in _batch_slices(batches, chunk_rows):
             rows = []
             for c in cols:
                 t0 = time.perf_counter()
                 blob, stats = chunklib.encode_chunk(
-                    pdf[c], dtypes[c], codec=codec, compression=compression
+                    pdf[c],
+                    dtypes[c],
+                    codec=codec,
+                    compression=compression,
+                    fsst_state=fsst_states[c],
                 )
                 wall_ms = (time.perf_counter() - t0) * 1000.0
                 rows.append(
