@@ -326,7 +326,10 @@ def select_codec(vals, dtype: str, fsst_state: dict | None = None) -> tuple[str,
     ds = dictionary.stats(sample_vals, "BYTE_ARRAY")
     scale = n / len(sample_vals)
     cands = {PLAIN: total + 4 * n, DICT_RLE: int(ds["est_size"] * scale)}
-    # FSST candidacy measured on a bounded sample (SURVEY.md §7.3)
+    # FSST candidacy measured on a bounded sample (SURVEY.md §7.3).
+    # Candidate sizes are estimated POST block-compression — comparing raw
+    # encodings would make FSST look dominant even where zlib-on-PLAIN
+    # ends up the same size at half the CPU.
     if ds["cardinality"] > max(16, 0.05 * len(sample_vals)) and total > 0:
         concat = b"".join(sample_vals)[:SAMPLE_BYTES]
         if len(concat) >= 256:
@@ -335,9 +338,18 @@ def select_codec(vals, dtype: str, fsst_state: dict | None = None) -> tuple[str,
                 table = fsst.train(concat)
                 if fsst_state is not None:
                     fsst_state["table"] = table
-            fsst_ratio = len(fsst.compress(concat, table)) / len(concat)
-            cands[FSST] = int(fsst_ratio * total) + 2 * len(table) + n + 16
-            info["fsst_ratio"] = round(fsst_ratio, 4)
+            plain_z = len(zlib.compress(concat, 6)) / len(concat)
+            fsst_payload = fsst.compress(concat, table)
+            fsst_z = min(
+                len(fsst_payload), len(zlib.compress(fsst_payload, 6))
+            ) / len(concat)
+            cands[PLAIN] = int(plain_z * total) + 4 * n
+            cands[FSST] = int(fsst_z * total) + 2 * len(table) + n + 16
+            info["fsst_ratio"] = round(fsst_z, 4)
+            info["plain_zlib_ratio"] = round(plain_z, 4)
+            # FSST costs ~2x the CPU of PLAIN+zlib: require a >10% size win
+            if cands[FSST] > 0.9 * cands[PLAIN]:
+                cands.pop(FSST)
     info.update(cardinality=ds["cardinality"], runs=ds["runs"], sizes=cands)
     return min(cands, key=cands.get), info
 

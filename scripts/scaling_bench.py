@@ -1,0 +1,127 @@
+"""Two-cluster-size scaling evidence (BASELINE.md protocol).
+
+The north rule requires >= 0.8 throughput scaling efficiency from N to
+4N executors.  No real cluster exists in this sandbox, so we run the
+identical spark-submit job at local[8] (N) and local[32] (4N) on the
+SAME deterministic input (partition-count fixed at 64 >= 2x max cores,
+so both runs are parallelism-bound, not partition-starved) and report
+
+    efficiency = throughput_4N / (4 * throughput_N)
+
+Decode of the 4N run's output must sha256-match the input (the
+bit-identity requirement is parallelism-invariant).
+
+Usage: python scripts/scaling_bench.py [rows]
+Writes BENCH/BASELINE.md and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+ROWS = int(sys.argv[1]) if len(sys.argv) > 1 else 40000
+PARTITIONS = 64  # >= 2x max cores: parallelism-bound at both sizes
+
+RUNNER = r"""
+import json, sys, time
+sys.path.insert(0, "/root/repo")
+import pandas as pd
+from pyspark.sql import functions as F
+from parquetjs_spark.sources.tables import get_spark
+from parquetjs_spark.sources.synthetic import source_code_df
+from parquetjs_spark import pipeline
+
+cores = int(sys.argv[1]); rows = int(sys.argv[2]); parts = int(sys.argv[3])
+spark = get_spark(f"scaling_{cores}", cores=cores, shuffle_partitions=cores)
+spark.sparkContext.setLogLevel("ERROR")
+src = source_code_df(spark, rows, partitions=parts).cache()
+content_bytes = src.select(F.sum(F.octet_length("content"))).collect()[0][0]
+
+def pt(b):
+    for _ in b: pass
+    yield pd.DataFrame({"n": [1]})
+src.mapInPandas(pt, "n long").count()
+
+def encode_action():
+    blobs = pipeline.encode_columns(src)
+    return blobs.agg(F.sum("encoded_bytes"), F.sum(F.when(F.col("codec")=="?",1).otherwise(0))).collect()
+
+best = None
+for _ in range(2):  # steady state: amortize one-time plan/codegen costs
+    t0 = time.perf_counter(); encode_action(); t = time.perf_counter() - t0
+    best = t if best is None else min(best, t)
+
+# bit-identity at this parallelism: decode + sha-verify every chunk
+blobs = pipeline.encode_columns(src)
+bad = pipeline.verify_blobs(blobs).where(~F.col("ok")).count()
+print(json.dumps({"cores": cores, "sec": best,
+                  "content_mb": content_bytes / 1e6,
+                  "mb_s": content_bytes / 1e6 / best,
+                  "sha_mismatches": bad}))
+spark.stop()
+"""
+
+
+def run(cores: int) -> dict:
+    out = subprocess.run(
+        [sys.executable, "-c", RUNNER, str(cores), str(ROWS), str(PARTITIONS)],
+        capture_output=True,
+        text=True,
+        timeout=1200,
+    )
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main():
+    r8 = run(8)
+    r32 = run(32)
+    eff = r32["mb_s"] / (4 * r8["mb_s"])
+    result = {
+        "rows": ROWS,
+        "partitions": PARTITIONS,
+        "content_mb": round(r8["content_mb"], 2),
+        "n_cores": 8,
+        "n_mb_s": round(r8["mb_s"], 2),
+        "n4_cores": 32,
+        "n4_mb_s": round(r32["mb_s"], 2),
+        "scaling_efficiency": round(eff, 3),
+        "pass": eff >= 0.8,
+        "sha_mismatches_n": r8["sha_mismatches"],
+        "sha_mismatches_4n": r32["sha_mismatches"],
+    }
+    print(json.dumps(result))
+
+    os.makedirs("/root/repo/BENCH", exist_ok=True)
+    with open("/root/repo/BENCH/BASELINE.md", "w") as f:
+        f.write(
+            f"""# BENCH/BASELINE — two-cluster-size scaling evidence
+
+Protocol: BASELINE.md (same deterministic synthetic source-code input —
+{ROWS} rows, {result['content_mb']} MB of content, {PARTITIONS} partitions
+(>= 2x max cores) — identical code, two parallelism levels; sandbox
+stand-in for N vs 4N executors).  Steady-state wall time (best of 2,
+amortizing one-time plan compile).  Decode sha256-verified at BOTH
+parallelism levels: bit-identity is parallelism-invariant.
+
+| run | parallelism | encode throughput (content MB/s) | sha mismatches |
+|---|---|---|---|
+| A (N)  | local[8]  | {result['n_mb_s']} | {result['sha_mismatches_n']} |
+| B (4N) | local[32] | {result['n4_mb_s']} | {result['sha_mismatches_4n']} |
+
+**Scaling efficiency = {result['n4_mb_s']} / (4 x {result['n_mb_s']}) =
+{result['scaling_efficiency']}** — {'PASS' if result['pass'] else 'FAIL'}
+(threshold 0.8, BASELINE.json north rule).
+"""
+        )
+    print("wrote /root/repo/BENCH/BASELINE.md")
+
+
+if __name__ == "__main__":
+    main()
