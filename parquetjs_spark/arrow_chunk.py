@@ -1,0 +1,497 @@
+"""Arrow-native column-chunk encode/decode.
+
+Same wire format as chunk.py (the pandas path) — blobs are
+interchangeable — but values never round-trip through Python objects:
+string columns are consumed as their Arrow buffers (one contiguous data
+buffer + an offsets vector), numeric columns as zero-copy NumPy views.
+This is the hot path behind ``pipeline.encode_columns`` /
+``decode_column`` (``df.mapInArrow``): the Arrow->pandas conversion of a
+string column materializes one PyObject per value, which costs more than
+the encoding itself and wrecks multi-worker scaling via allocator
+pressure; reading the buffers directly removes that entirely.
+
+Citations: same operator semantics as chunk.py
+(/root/reference/lib/writer.js:424-477 encodeColumnChunk,
+/root/reference/lib/reader.js:237-262 readColumnChunk, DataPageV2 layout
+/root/reference/lib/writer.js:355-419).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .chunk import (
+    DTYPE_IDS,
+    DTYPE_NAMES,
+    MAGIC,
+    SAMPLE_BYTES,
+    SAMPLE_VALUES,
+    _PTYPE,
+)
+from .codecs import (
+    CODEC_IDS,
+    CODEC_NAMES,
+    DICT_RLE,
+    FOR_BITPACK,
+    FSST,
+    PLAIN,
+    RLE,
+    compress as comp,
+    for_bp,
+    fsst,
+    plain,
+    rle,
+)
+from .codecs.util import bit_width
+
+# --------------------------------------------------------------------------
+# string block: (data: bytes, offsets: int64[n+1]) of the NON-NULL values
+# --------------------------------------------------------------------------
+
+
+class StrBlock:
+    __slots__ = ("data", "offsets")
+
+    def __init__(self, data: bytes, offsets: np.ndarray):
+        self.data = data
+        self.offsets = offsets
+
+    @property
+    def n(self) -> int:
+        return len(self.offsets) - 1
+
+    @property
+    def lens(self) -> np.ndarray:
+        return np.diff(self.offsets)
+
+    @property
+    def total(self) -> int:
+        return int(self.offsets[-1] - self.offsets[0])
+
+    def slice_values(self, k: int) -> "StrBlock":
+        k = min(k, self.n)
+        offs = self.offsets[: k + 1]
+        return StrBlock(self.data[self.offsets[0] : offs[-1]], offs - offs[0])
+
+    def concat_bytes(self) -> bytes:
+        if self.offsets[0] == 0 and self.offsets[-1] == len(self.data):
+            return self.data
+        return self.data[self.offsets[0] : self.offsets[-1]]
+
+    def to_pa(self, binary: bool = False) -> pa.Array:
+        offs = self.offsets - self.offsets[0]
+        typ = pa.large_binary() if binary else pa.large_utf8()
+        return pa.Array.from_buffers(
+            typ,
+            self.n,
+            [None, pa.py_buffer(offs.astype(np.int64)), pa.py_buffer(self.concat_bytes())],
+        )
+
+
+def _strblock_from_pa(arr: pa.Array) -> StrBlock:
+    """arr must contain no nulls (drop_null upstream). Zero-copy where the
+    arrow layout allows."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    t = arr.type
+    if pa.types.is_large_string(t) or pa.types.is_large_binary(t):
+        off_dtype = np.int64
+    else:
+        off_dtype = np.int32
+    bufs = arr.buffers()
+    offsets = np.frombuffer(bufs[1], dtype=off_dtype, count=len(arr) + 1 + arr.offset)[
+        arr.offset :
+    ].astype(np.int64)
+    data = bufs[2].to_pybytes() if bufs[2] is not None else b""
+    return StrBlock(data, offsets)
+
+
+def _plain_stream(block: StrBlock) -> bytes:
+    """4-byte LE length prefix + payload per value, vectorized from the
+    block buffers (semantics of /root/reference/lib/codec/plain.js:145-162)."""
+    n = block.n
+    lens = block.lens
+    total = int(lens.sum()) + 4 * n
+    out = np.empty(total, dtype=np.uint8)
+    starts = np.zeros(n, dtype=np.int64)
+    if n:
+        starts[1:] = np.cumsum(lens[:-1] + 4)
+    idx = (starts[:, None] + np.arange(4)).reshape(-1)
+    out[idx] = lens.astype("<u4").view(np.uint8).reshape(-1)
+    mask = np.ones(total, dtype=bool)
+    mask[idx] = False
+    out[mask] = np.frombuffer(block.concat_bytes(), dtype=np.uint8)
+    return out.tobytes()
+
+
+def _plain_stream_decode(buf: memoryview, n: int) -> StrBlock:
+    """Inverse of _plain_stream, vectorized: the length prefixes are
+    recovered with a bounded scan, then one masked gather extracts the
+    payload."""
+    b = bytes(buf)
+    lens = np.empty(n, dtype=np.int64)
+    pos = 0
+    ifb = int.from_bytes
+    for i in range(n):  # data-dependent offsets: sequential, but O(n) ints
+        ln = ifb(b[pos : pos + 4], "little")
+        lens[i] = ln
+        pos += 4 + ln
+    total = len(b)
+    arr = np.frombuffer(b, dtype=np.uint8, count=total)
+    starts = np.zeros(n, dtype=np.int64)
+    if n:
+        starts[1:] = np.cumsum(lens[:-1] + 4)
+    idx = starts[:, None] + np.arange(4)
+    mask = np.ones(total, dtype=bool)
+    mask[idx.reshape(-1)] = False
+    data = arr[mask].tobytes()
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    return StrBlock(data, offsets)
+
+
+# --------------------------------------------------------------------------
+# string codecs over StrBlock
+# --------------------------------------------------------------------------
+
+
+def _encode_dict_block(block: StrBlock) -> bytes:
+    """RLE_DICTIONARY wire format (see codecs/dictionary.py) computed with
+    Arrow's C++ dictionary_encode — no Python-object factorize."""
+    arr = block.to_pa(binary=True)
+    denc = pc.dictionary_encode(arr)
+    codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.uint64)
+    uniq = _strblock_from_pa(denc.dictionary)
+    dict_page = _plain_stream(uniq)
+    n_dict = uniq.n
+    width = bit_width(max(0, n_dict - 1))
+    idx_rle = rle.encode(codes, width, disable_envelope=True)
+    return (
+        n_dict.to_bytes(4, "little")
+        + len(dict_page).to_bytes(4, "little")
+        + dict_page
+        + bytes([width])
+        + idx_rle
+    )
+
+
+def _decode_dict_block(buf: memoryview, n: int) -> StrBlock:
+    n_dict = int.from_bytes(bytes(buf[0:4]), "little")
+    dict_len = int.from_bytes(bytes(buf[4:8]), "little")
+    uniq = _plain_stream_decode(buf[8 : 8 + dict_len], n_dict)
+    width = buf[8 + dict_len]
+    idx = rle.decode(buf[9 + dict_len :], n, width, disable_envelope=True).astype(
+        np.int64
+    )
+    lens = uniq.lens
+    out_lens = lens[idx]
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(out_lens, out=offsets[1:])
+    # gather: for each value, copy uniq bytes — grouped per dictionary code
+    data = np.empty(int(offsets[-1]), dtype=np.uint8)
+    src = np.frombuffer(uniq.concat_bytes(), dtype=np.uint8)
+    uoff = uniq.offsets
+    order = np.argsort(idx, kind="stable")
+    sorted_idx = idx[order]
+    sorted_starts = offsets[:-1][order]
+    bounds = np.searchsorted(sorted_idx, np.arange(n_dict + 1))
+    for d in range(n_dict):
+        lo, hi = bounds[d], bounds[d + 1]
+        if lo == hi:
+            continue
+        ln = int(lens[d])
+        if ln == 0:
+            continue
+        piece = src[uoff[d] : uoff[d] + ln]
+        dst = sorted_starts[lo:hi]
+        data[dst[:, None] + np.arange(ln)] = piece
+    return StrBlock(data.tobytes(), offsets)
+
+
+def _encode_fsst_block(block: StrBlock, fsst_state: dict | None) -> bytes:
+    concat = block.concat_bytes()
+    table = None if fsst_state is None else fsst_state.get("table")
+    if table is None:
+        table = fsst.train(concat[:SAMPLE_BYTES])
+        if fsst_state is not None:
+            fsst_state["table"] = table
+    lens_enc = for_bp.encode(block.lens.astype(np.int64))
+    payload = fsst.compress(concat, table)
+    return (
+        len(lens_enc).to_bytes(4, "little")
+        + lens_enc
+        + fsst.serialize_table(table)
+        + payload
+    )
+
+
+def _decode_fsst_block(buf: memoryview, n: int) -> StrBlock:
+    lens_len = int.from_bytes(bytes(buf[:4]), "little")
+    lens = for_bp.decode(buf[4 : 4 + lens_len], n)
+    table, consumed = fsst.deserialize_table(buf[4 + lens_len :])
+    concat = fsst.decompress(bytes(buf[4 + lens_len + consumed :]), table)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    return StrBlock(concat, offsets)
+
+
+# --------------------------------------------------------------------------
+# selector over StrBlock (same policy as chunk.select_codec)
+# --------------------------------------------------------------------------
+
+
+def _select_string_codec(block: StrBlock, fsst_state: dict | None) -> tuple[str, dict]:
+    n = block.n
+    info: dict = {}
+    if n == 0:
+        return PLAIN, info
+    total = block.total
+    sample = block.slice_values(min(n, SAMPLE_VALUES))
+    arr = sample.to_pa(binary=True)
+    denc = pc.dictionary_encode(arr)
+    card = len(denc.dictionary)
+    codes = denc.indices.to_numpy(zero_copy_only=False)
+    runs = 1 + int(np.count_nonzero(np.diff(codes))) if len(codes) else 0
+    dict_bytes = _strblock_from_pa(denc.dictionary).total + 4 * card
+    width = bit_width(max(0, card - 1))
+    est_idx = min((len(codes) * width + 7) // 8 + 2 * runs, 10 * runs + 2)
+    scale = n / sample.n
+    cands = {
+        PLAIN: total + 4 * n,
+        DICT_RLE: int((9 + dict_bytes + est_idx) * scale),
+    }
+    if card > max(16, 0.05 * sample.n) and total > 0:
+        concat = sample.concat_bytes()[:SAMPLE_BYTES]
+        if len(concat) >= 256:
+            table = None if fsst_state is None else fsst_state.get("table")
+            if table is None:
+                table = fsst.train(concat)
+                if fsst_state is not None:
+                    fsst_state["table"] = table
+            plain_z = len(zlib.compress(concat, 6)) / len(concat)
+            payload = fsst.compress(concat, table)
+            fsst_z = min(len(payload), len(zlib.compress(payload, 6))) / len(concat)
+            cands[PLAIN] = int(plain_z * total) + 4 * n
+            cands[FSST] = int(fsst_z * total) + 2 * len(table) + n + 16
+            if cands[FSST] > 0.9 * cands[PLAIN]:
+                cands.pop(FSST)
+    info.update(cardinality=card, runs=runs, sizes=cands)
+    return min(cands, key=cands.get), info
+
+
+# --------------------------------------------------------------------------
+# arrow array <-> (values, valid) per dtype
+# --------------------------------------------------------------------------
+
+
+def _arrow_to_values(arr: pa.Array, dtype: str):
+    """Return (values, valid) where values is StrBlock for strings/binary
+    and an np array otherwise; valid is a bool ndarray."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if arr.null_count:
+        valid = pc.is_valid(arr).to_numpy(zero_copy_only=False)
+        nn = arr.drop_null()
+    else:
+        valid = np.ones(len(arr), dtype=bool)
+        nn = arr
+    if dtype in ("string", "binary"):
+        return _strblock_from_pa(nn), valid
+    if dtype == "timestamp_us":
+        np_vals = nn.cast(pa.timestamp("us")).to_numpy(zero_copy_only=False)
+        return np_vals.view(np.int64), valid
+    if dtype == "date":
+        np_vals = nn.to_numpy(zero_copy_only=False)  # datetime64[D]
+        return np_vals.astype("datetime64[D]").view(np.int64).astype(np.int32), valid
+    if dtype == "bool":
+        return nn.to_numpy(zero_copy_only=False), valid
+    return nn.to_numpy(zero_copy_only=False), valid
+
+
+_PA_TYPES = {
+    "int64": pa.int64(),
+    "int32": pa.int32(),
+    "float64": pa.float64(),
+    "float32": pa.float32(),
+    "bool": pa.bool_(),
+    "string": pa.string(),
+    "binary": pa.binary(),
+    "date": pa.date32(),
+    "timestamp_us": pa.timestamp("us"),
+}
+
+
+def _values_to_arrow(values, valid: np.ndarray, dtype: str) -> pa.Array:
+    n = len(valid)
+    has_nulls = not valid.all()
+    mask = ~valid if has_nulls else None
+    if dtype in ("string", "binary"):
+        block: StrBlock = values
+        dense = block.to_pa(binary=(dtype == "binary"))
+        if dtype == "string":
+            dense = dense.cast(pa.large_utf8()) if dense.type != pa.large_utf8() else dense
+        if not has_nulls:
+            out = dense
+        else:
+            # scatter non-null values into a nullable array via take
+            idx = np.full(n, -1, dtype=np.int64)
+            idx[valid] = np.arange(block.n)
+            out = dense.take(pa.array(idx, mask=mask))
+        return out.cast(pa.string() if dtype == "string" else pa.binary())
+    if dtype == "timestamp_us":
+        full = np.zeros(n, dtype=np.int64)
+        full[valid] = np.asarray(values, dtype=np.int64)
+        return pa.array(full.view("datetime64[us]"), type=pa.timestamp("us"), mask=mask)
+    if dtype == "date":
+        full = np.zeros(n, dtype=np.int32)
+        full[valid] = np.asarray(values, dtype=np.int32)
+        return pa.array(full, type=pa.date32(), mask=mask)
+    np_dtype = {"int64": np.int64, "int32": np.int32, "float64": np.float64,
+                "float32": np.float32, "bool": bool}[dtype]
+    full = np.zeros(n, dtype=np_dtype)
+    full[valid] = np.asarray(values, dtype=np_dtype)
+    return pa.array(full, type=_PA_TYPES[dtype], mask=mask)
+
+
+# --------------------------------------------------------------------------
+# canonical sha256 — identical definition to chunk.canonical_sha256
+# --------------------------------------------------------------------------
+
+
+def _canonical_sha256_block(values, valid: np.ndarray, dtype: str) -> str:
+    if dtype in ("string", "binary"):
+        body = _plain_stream(values)
+    elif dtype == "bool":
+        body = plain.encode_boolean(np.asarray(values))
+    else:
+        body = plain.encode_numeric(_PTYPE[dtype], np.asarray(values))
+    h = hashlib.sha256(body)
+    h.update(b"|")
+    h.update(np.packbits(valid.view(np.uint8), bitorder="little").tobytes())
+    return h.hexdigest()
+
+
+# --------------------------------------------------------------------------
+# public: encode/decode one arrow column chunk (wire-compatible w/ chunk.py)
+# --------------------------------------------------------------------------
+
+
+def encode_arrow_column(
+    arr: pa.Array,
+    dtype: str,
+    codec: str = "auto",
+    compression: str = "auto",
+    fsst_state: dict | None = None,
+) -> tuple[bytes, dict]:
+    values, valid = _arrow_to_values(arr, dtype)
+    n = len(valid)
+    n_nulls = int(n - valid.sum())
+    sel_info: dict = {}
+
+    if dtype in ("string", "binary"):
+        if codec == "auto":
+            codec, sel_info = _select_string_codec(values, fsst_state)
+        if codec == PLAIN:
+            values_raw = _plain_stream(values)
+        elif codec == DICT_RLE:
+            values_raw = _encode_dict_block(values)
+        elif codec == FSST:
+            values_raw = _encode_fsst_block(values, fsst_state)
+        else:
+            raise ValueError(f"codec {codec} unsupported for {dtype}")
+        content_bytes = values.total
+    else:
+        from . import chunk as chunklib
+
+        if codec == "auto":
+            codec, sel_info = chunklib.select_codec(values, dtype, fsst_state)
+        values_raw = chunklib._encode_values(values, dtype, codec, None, fsst_state)
+        content_bytes = (
+            (len(values) + 7) // 8 if dtype == "bool" else int(np.asarray(values).nbytes)
+        )
+
+    if compression == "auto":
+        z = zlib.compress(values_raw, 6)
+        if len(z) < 0.97 * len(values_raw) - 16:
+            compression, values_comp = comp.ZLIB, z
+        else:
+            compression, values_comp = comp.UNCOMPRESSED, values_raw
+    else:
+        values_comp = comp.compress(compression, values_raw)
+
+    levels = b""
+    flags = 0
+    if n_nulls:
+        flags |= 1
+        levels = rle.encode(valid.astype(np.uint64), 1, disable_envelope=True)
+
+    blob = b"".join(
+        (
+            MAGIC,
+            bytes([DTYPE_IDS[dtype], CODEC_IDS[codec], comp.comp_id(compression), flags]),
+            n.to_bytes(4, "little"),
+            n_nulls.to_bytes(4, "little"),
+            len(levels).to_bytes(4, "little"),
+            len(values_comp).to_bytes(4, "little"),
+            levels,
+            values_comp,
+        )
+    )
+    stats = {
+        "codec": codec,
+        "compression": compression,
+        "n": n,
+        "n_nulls": n_nulls,
+        "content_bytes": content_bytes,
+        "encoded_bytes": len(blob),
+        "sha256": _canonical_sha256_block(values, valid, dtype),
+        "selector": sel_info,
+    }
+    return blob, stats
+
+
+def decode_arrow_column(blob: bytes | memoryview) -> tuple[pa.Array, str]:
+    mv = memoryview(blob)
+    if bytes(mv[:4]) != MAGIC:
+        raise ValueError("bad chunk magic")
+    dtype = DTYPE_NAMES[mv[4]]
+    codec = CODEC_NAMES[mv[5]]
+    compression = comp.comp_name(mv[6])
+    flags = mv[7]
+    n = int.from_bytes(bytes(mv[8:12]), "little")
+    n_nulls = int.from_bytes(bytes(mv[12:16]), "little")
+    levels_len = int.from_bytes(bytes(mv[16:20]), "little")
+    values_len = int.from_bytes(bytes(mv[20:24]), "little")
+    pos = 24
+    if flags & 1:
+        valid = rle.decode(mv[pos : pos + levels_len], n, 1, disable_envelope=True).astype(bool)
+    else:
+        valid = np.ones(n, dtype=bool)
+    pos += levels_len
+    values_raw = comp.decompress(compression, bytes(mv[pos : pos + values_len]))
+    nn = n - n_nulls
+    if dtype in ("string", "binary"):
+        if codec == PLAIN:
+            block = _plain_stream_decode(memoryview(values_raw), nn)
+        elif codec == DICT_RLE:
+            block = _decode_dict_block(memoryview(values_raw), nn)
+        elif codec == FSST:
+            block = _decode_fsst_block(memoryview(values_raw), nn)
+        else:
+            raise ValueError(f"codec {codec} unsupported for {dtype}")
+        return _values_to_arrow(block, valid, dtype), dtype
+    from . import chunk as chunklib
+
+    vals = chunklib._decode_values(memoryview(values_raw), nn, dtype, codec)
+    return _values_to_arrow(vals, valid, dtype), dtype
+
+
+def verify_arrow(blob: bytes, expected_sha: str) -> bool:
+    arr, dtype = decode_arrow_column(blob)
+    values, valid = _arrow_to_values(arr, dtype)
+    return _canonical_sha256_block(values, valid, dtype) == expected_sha

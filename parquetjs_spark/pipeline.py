@@ -24,11 +24,12 @@ from typing import Iterable, Iterator
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 from pyspark import TaskContext
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
-from . import chunk as chunklib
+from . import arrow_chunk, chunk as chunklib
 
 DEFAULT_CHUNK_ROWS = 4096  # /root/reference/lib/writer.js:26
 
@@ -91,6 +92,36 @@ BLOB_SCHEMA = T.StructType(
 
 MANIFEST_COLUMNS = [f.name for f in BLOB_SCHEMA.fields if f.name != "data"]
 
+_BLOB_PA_SCHEMA = pa.schema(
+    [
+        pa.field("part_id", pa.int32()),
+        pa.field("chunk_seq", pa.int64()),
+        pa.field("column", pa.string()),
+        pa.field("dtype", pa.string()),
+        pa.field("codec", pa.string()),
+        pa.field("compression", pa.string()),
+        pa.field("n", pa.int64()),
+        pa.field("n_nulls", pa.int64()),
+        pa.field("content_bytes", pa.int64()),
+        pa.field("encoded_bytes", pa.int64()),
+        pa.field("sha256", pa.string()),
+        pa.field("wall_ms", pa.float64()),
+        pa.field("data", pa.binary()),
+    ]
+)
+
+_LOGICAL_TO_PA: dict[str, pa.DataType] = {
+    "int64": pa.int64(),
+    "int32": pa.int32(),
+    "float64": pa.float64(),
+    "float32": pa.float32(),
+    "bool": pa.bool_(),
+    "string": pa.string(),
+    "binary": pa.binary(),
+    "date": pa.date32(),
+    "timestamp_us": pa.timestamp("us"),
+}
+
 
 # --------------------------------------------------------------------------
 # encode stage
@@ -100,7 +131,7 @@ MANIFEST_COLUMNS = [f.name for f in BLOB_SCHEMA.fields if f.name != "data"]
 def _batch_slices(
     batches: Iterable[pd.DataFrame], chunk_rows: int
 ) -> Iterator[pd.DataFrame]:
-    """Re-chunk a stream of Arrow batches into ~chunk_rows slices without
+    """Re-chunk a stream of pandas batches into ~chunk_rows slices without
     concatenating the whole partition (bounded memory at any scale)."""
     pending: list[pd.DataFrame] = []
     pending_rows = 0
@@ -121,6 +152,36 @@ def _batch_slices(
         yield pd.concat(pending, ignore_index=True) if len(pending) > 1 else pending[
             0
         ].reset_index(drop=True)
+
+
+def _arrow_batch_slices(
+    batches: Iterable[pa.RecordBatch], chunk_rows: int
+) -> Iterator[pa.RecordBatch]:
+    """Zero-copy re-chunking of Arrow RecordBatches into chunk_rows slices
+    (row-group sizing, /root/reference/lib/writer.js:26 analogue)."""
+    pending: list[pa.RecordBatch] = []
+    pending_rows = 0
+    for rb in batches:
+        pos = 0
+        n = rb.num_rows
+        while pos < n:
+            take = min(chunk_rows - pending_rows, n - pos)
+            pending.append(rb.slice(pos, take))
+            pending_rows += take
+            pos += take
+            if pending_rows >= chunk_rows:
+                if len(pending) == 1:
+                    yield pending[0]
+                else:
+                    tbl = pa.Table.from_batches(pending).combine_chunks()
+                    yield tbl.to_batches(max_chunksize=pending_rows)[0]
+                pending, pending_rows = [], 0
+    if pending_rows:
+        if len(pending) == 1:
+            yield pending[0]
+        else:
+            tbl = pa.Table.from_batches(pending).combine_chunks()
+            yield tbl.to_batches(max_chunksize=pending_rows)[0]
 
 
 def pretrain_fsst_tables(
@@ -169,7 +230,7 @@ def encode_columns(
     if fsst_tables is None and codec in ("auto", "FSST"):
         fsst_tables = pretrain_fsst_tables(df, cols, dtypes)
 
-    def encode_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def encode_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         ctx = TaskContext.get()
         part_id = ctx.partitionId() if ctx is not None else 0
         seq = 0
@@ -179,39 +240,35 @@ def encode_columns(
             c: ({"table": fsst_tables[c]} if fsst_tables and c in fsst_tables else {})
             for c in cols
         }
-        for pdf in _batch_slices(batches, chunk_rows):
-            rows = []
+        for rb in _arrow_batch_slices(batches, chunk_rows):
+            rows: dict[str, list] = {f.name: [] for f in BLOB_SCHEMA.fields}
             for c in cols:
                 t0 = time.perf_counter()
-                blob, stats = chunklib.encode_chunk(
-                    pdf[c],
+                blob, stats = arrow_chunk.encode_arrow_column(
+                    rb.column(c),
                     dtypes[c],
                     codec=codec,
                     compression=compression,
                     fsst_state=fsst_states[c],
                 )
                 wall_ms = (time.perf_counter() - t0) * 1000.0
-                rows.append(
-                    {
-                        "part_id": part_id,
-                        "chunk_seq": seq,
-                        "column": c,
-                        "dtype": dtypes[c],
-                        "codec": stats["codec"],
-                        "compression": stats["compression"],
-                        "n": stats["n"],
-                        "n_nulls": stats["n_nulls"],
-                        "content_bytes": stats["content_bytes"],
-                        "encoded_bytes": stats["encoded_bytes"],
-                        "sha256": stats["sha256"],
-                        "wall_ms": wall_ms,
-                        "data": blob,
-                    }
-                )
+                rows["part_id"].append(part_id)
+                rows["chunk_seq"].append(seq)
+                rows["column"].append(c)
+                rows["dtype"].append(dtypes[c])
+                rows["codec"].append(stats["codec"])
+                rows["compression"].append(stats["compression"])
+                rows["n"].append(stats["n"])
+                rows["n_nulls"].append(stats["n_nulls"])
+                rows["content_bytes"].append(stats["content_bytes"])
+                rows["encoded_bytes"].append(stats["encoded_bytes"])
+                rows["sha256"].append(stats["sha256"])
+                rows["wall_ms"].append(wall_ms)
+                rows["data"].append(blob)
             seq += 1
-            yield pd.DataFrame(rows)
+            yield pa.RecordBatch.from_pydict(rows, schema=_BLOB_PA_SCHEMA)
 
-    return df.mapInPandas(encode_fn, schema=BLOB_SCHEMA)
+    return df.mapInArrow(encode_fn, schema=BLOB_SCHEMA)
 
 
 # --------------------------------------------------------------------------
@@ -243,14 +300,21 @@ def decode_column(
     out_schema = T.StructType(
         [T.StructField(out_name, out_type or _LOGICAL_TO_SPARK[dtype])]
     )
+    pa_type = _LOGICAL_TO_PA[dtype]
+    if isinstance(out_type, T.TimestampType):
+        # tz-aware Spark timestamps travel as UTC-instant arrow timestamps
+        pa_type = pa.timestamp("us", tz="UTC")
 
-    def decode_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            for blob in pdf["data"]:
-                series, _ = chunklib.decode_chunk(bytes(blob))
-                yield pd.DataFrame({out_name: series})
+    def decode_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            data_col = rb.column(0)
+            for i in range(rb.num_rows):
+                arr, _ = arrow_chunk.decode_arrow_column(data_col[i].as_py())
+                if arr.type != pa_type:
+                    arr = arr.cast(pa_type)
+                yield pa.RecordBatch.from_arrays([arr], names=[out_name])
 
-    return rows.select("data").mapInPandas(decode_fn, schema=out_schema)
+    return rows.select("data").mapInArrow(decode_fn, schema=out_schema)
 
 
 VERIFY_SCHEMA = T.StructType(
@@ -267,22 +331,25 @@ def verify_blobs(blob_df: DataFrame) -> DataFrame:
     """Decode every chunk and re-hash — distributed bit-identity check
     (BASELINE.json:15). Returns one row per chunk with ok flag."""
 
-    def verify_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
+    def verify_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            blobs = rb.column("data")
+            shas = rb.column("sha256")
             oks = [
-                chunklib.verify_chunk(bytes(blob), sha)
-                for blob, sha in zip(pdf["data"], pdf["sha256"])
+                arrow_chunk.verify_arrow(blobs[i].as_py(), shas[i].as_py())
+                for i in range(rb.num_rows)
             ]
-            yield pd.DataFrame(
-                {
-                    "part_id": pdf["part_id"],
-                    "chunk_seq": pdf["chunk_seq"],
-                    "column": pdf["column"],
-                    "ok": oks,
-                }
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column("part_id"),
+                    rb.column("chunk_seq"),
+                    rb.column("column"),
+                    pa.array(oks, type=pa.bool_()),
+                ],
+                names=["part_id", "chunk_seq", "column", "ok"],
             )
 
-    return blob_df.select("part_id", "chunk_seq", "column", "sha256", "data").mapInPandas(
+    return blob_df.select("part_id", "chunk_seq", "column", "sha256", "data").mapInArrow(
         verify_fn, schema=VERIFY_SCHEMA
     )
 

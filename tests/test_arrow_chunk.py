@@ -1,0 +1,111 @@
+"""Arrow-native chunk path: round-trips + wire compatibility with the
+pandas path (identical blob format, interchangeable decode)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from parquetjs_spark import arrow_chunk, chunk
+from parquetjs_spark.codecs import DICT_RLE, FSST, PLAIN
+
+
+def rt(arr: pa.Array, dtype: str, **kw):
+    blob, stats = arrow_chunk.encode_arrow_column(arr, dtype, **kw)
+    out, out_dtype = arrow_chunk.decode_arrow_column(blob)
+    assert out_dtype == dtype
+    assert arrow_chunk.verify_arrow(blob, stats["sha256"])
+    return out, stats
+
+
+@pytest.mark.parametrize("codec", ["auto", PLAIN, DICT_RLE, FSST])
+def test_string_roundtrip(codec):
+    vals = ["SELECT %d FROM t%d" % (i, i % 5) for i in range(3000)]
+    out, _ = rt(pa.array(vals), "string", codec=codec)
+    assert out.to_pylist() == vals
+
+
+def test_string_with_nulls():
+    vals = ["aa", None, "bb", "", None, "日本語"] * 50
+    out, stats = rt(pa.array(vals), "string")
+    assert stats["n_nulls"] == 100
+    assert out.to_pylist() == vals
+
+
+def test_binary_roundtrip():
+    vals = [b"\xff\x00\x01" * i for i in range(200)]
+    out, _ = rt(pa.array(vals, type=pa.binary()), "binary", codec=PLAIN)
+    assert out.to_pylist() == vals
+
+
+def test_int_float_bool_roundtrip():
+    for vals, dtype in [
+        (pa.array(np.arange(5000) % 100), "int64"),
+        (pa.array(np.arange(1000, dtype=np.int32)), "int32"),
+        (pa.array(np.random.default_rng(1).normal(size=2000)), "float64"),
+        (pa.array([True, False, None, True] * 100), "bool"),
+    ]:
+        out, _ = rt(vals, dtype)
+        assert out.to_pylist() == vals.to_pylist()
+
+
+def test_timestamp_date_roundtrip():
+    ts = pa.array(
+        pd.date_range("2024-01-01", periods=500, freq="13min"),
+        type=pa.timestamp("us"),
+    )
+    out, _ = rt(ts, "timestamp_us")
+    assert out.to_pylist() == ts.to_pylist()
+
+    dates = pa.array(
+        pd.date_range("1995-01-01", periods=300, freq="D").date, type=pa.date32()
+    )
+    out, _ = rt(dates, "date")
+    assert out.to_pylist() == dates.to_pylist()
+
+
+def test_int_with_nulls():
+    vals = pa.array([1, None, 2**61, None, 5])
+    out, stats = rt(vals, "int64")
+    assert stats["n_nulls"] == 2
+    assert out.to_pylist() == vals.to_pylist()
+
+
+def test_wire_compat_pandas_encodes_arrow_decodes():
+    s = pd.Series(["x%d" % (i % 7) for i in range(1000)])
+    blob, stats = chunk.encode_chunk(s, "string")
+    arr, dtype = arrow_chunk.decode_arrow_column(blob)
+    assert dtype == "string"
+    assert arr.to_pylist() == s.tolist()
+    assert arrow_chunk.verify_arrow(blob, stats["sha256"])
+
+
+def test_wire_compat_arrow_encodes_pandas_decodes():
+    vals = ["row %d payload" % i for i in range(1000)]
+    blob, stats = arrow_chunk.encode_arrow_column(pa.array(vals), "string", codec=FSST)
+    series, dtype = chunk.decode_chunk(blob)
+    assert dtype == "string"
+    assert series.tolist() == vals
+    assert chunk.verify_chunk(blob, stats["sha256"])
+
+
+def test_sha_identical_across_paths():
+    vals = ["abc", None, "def"] * 20
+    s = pd.Series(vals, dtype=object)
+    _, st_pd = chunk.encode_chunk(s, "string", codec=PLAIN)
+    _, st_ar = arrow_chunk.encode_arrow_column(pa.array(vals), "string", codec=PLAIN)
+    assert st_pd["sha256"] == st_ar["sha256"]
+
+
+def test_sliced_arrow_input():
+    base = pa.array(["padpad"] * 10 + ["v%d" % i for i in range(500)])
+    sliced = base.slice(10, 400)
+    out, _ = rt(sliced, "string", codec=PLAIN)
+    assert out.to_pylist() == sliced.to_pylist()
+
+
+def test_empty_and_all_null():
+    out, stats = rt(pa.array([], type=pa.string()), "string")
+    assert stats["n"] == 0 and len(out) == 0
+    out, stats = rt(pa.array([None, None], type=pa.string()), "string")
+    assert stats["n_nulls"] == 2 and out.null_count == 2
