@@ -1,0 +1,125 @@
+"""spark-submit entry point (north rule: the pipeline launches via
+``spark-submit --py-files`` on multi-executor clusters).
+
+Packaging:
+    cd /root/repo && zip -r /tmp/parquetjs_spark.zip parquetjs_spark
+    spark-submit --py-files /tmp/parquetjs_spark.zip \
+        parquetjs_spark/cli.py encode --input /data/src.parquet \
+        --output /data/encoded --columns content,path --salt-key repo
+
+Subcommands:
+    encode   parquet table -> blob+manifest tables (resumable)
+    decode   blob table + column -> parquet of values
+    verify   blob table -> per-chunk sha256 bit-identity report
+    bench    the repo bench (same as bench.py)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _spark(args):
+    from pyspark.sql import SparkSession
+
+    b = SparkSession.builder.appName(f"parquetjs_spark_{args.cmd}")
+    if args.master:
+        b = b.master(args.master)
+    return (
+        b.config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
+        .getOrCreate()
+    )
+
+
+def cmd_encode(args) -> int:
+    from pyspark.sql import functions as F
+
+    from parquetjs_spark import pipeline
+
+    spark = _spark(args)
+    df = spark.read.parquet(args.input)
+    cols = args.columns.split(",") if args.columns else None
+    if args.salt_key:
+        df = pipeline.salted_repartition(
+            df, args.salt_key, args.partitions or 200, args.salt_buckets
+        )
+    elif args.partitions:
+        df = df.repartition(args.partitions)
+
+    if args.resume_from:
+        # resume: drop chunks already committed in a previous run's manifest
+        done = pipeline.read_manifest(spark, args.resume_from)
+        blobs = pipeline.encode_columns(df, cols, chunk_rows=args.chunk_rows)
+        blobs = pipeline.pending_chunks(blobs, done)
+        mode = "append"
+    else:
+        blobs = pipeline.encode_columns(df, cols, chunk_rows=args.chunk_rows)
+        mode = "overwrite"
+    pipeline.write_encoded(blobs, args.output, mode=mode)
+    summary = pipeline.encode_summary(pipeline.read_encoded(spark, args.output))
+    for r in summary.collect():
+        print(json.dumps(r.asDict()))
+    return 0
+
+
+def cmd_decode(args) -> int:
+    from parquetjs_spark import pipeline
+
+    spark = _spark(args)
+    blobs = pipeline.read_encoded(spark, args.input)
+    out = pipeline.decode_column(blobs, args.column)
+    out.write.mode("overwrite").parquet(args.output)
+    print(json.dumps({"rows": spark.read.parquet(args.output).count()}))
+    return 0
+
+
+def cmd_verify(args) -> int:
+    from pyspark.sql import functions as F
+
+    from parquetjs_spark import pipeline
+
+    spark = _spark(args)
+    blobs = pipeline.read_encoded(spark, args.input)
+    report = pipeline.verify_blobs(blobs)
+    bad = report.where(~F.col("ok")).count()
+    total = report.count()
+    print(json.dumps({"chunks": total, "mismatches": bad}))
+    return 0 if bad == 0 else 1
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="parquetjs_spark")
+    p.add_argument("--master", default=None, help="override spark master")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pe = sub.add_parser("encode")
+    pe.add_argument("--input", required=True)
+    pe.add_argument("--output", required=True)
+    pe.add_argument("--columns", default=None, help="comma-separated; default all")
+    pe.add_argument("--chunk-rows", type=int, default=4096)
+    pe.add_argument("--partitions", type=int, default=None)
+    pe.add_argument("--salt-key", default=None, help="skewed key column to salt on")
+    pe.add_argument("--salt-buckets", type=int, default=16)
+    pe.add_argument("--resume-from", default=None, help="prior output path (manifest)")
+    pe.set_defaults(fn=cmd_encode)
+
+    pd_ = sub.add_parser("decode")
+    pd_.add_argument("--input", required=True)
+    pd_.add_argument("--column", required=True)
+    pd_.add_argument("--output", required=True)
+    pd_.set_defaults(fn=cmd_decode)
+
+    pv = sub.add_parser("verify")
+    pv.add_argument("--input", required=True)
+    pv.set_defaults(fn=cmd_verify)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
