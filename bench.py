@@ -110,6 +110,34 @@ def main():
     src_raw = sum(r["content_bytes"] for r in src_summary)
     extras["source_size_ratio"] = round(src_enc / src_raw, 4)
 
+    # north-rule size gate: ours vs parquetjs's compressed column chunks
+    # on the same data, parquetjs sizes from its format math
+    # (reference_model.py: PLAIN sum(4+len) per 4096-row group, per-page
+    # gzipSync level 6) — computed distributed, zero overhead counted
+    # for the reference.
+    def _ref_sizes(batches):
+        from parquetjs_spark import reference_model as ref
+
+        plain = gz = 0
+        for pdf_b in batches:
+            vals = [v.encode("utf-8") for v in pdf_b["content"].tolist()]
+            plain += ref.chunked_size(vals, "binary", "UNCOMPRESSED")
+            gz += ref.chunked_size(vals, "binary", "GZIP")
+        yield pd.DataFrame({"plain": [plain], "gzip": [gz]})
+
+    ref_tot = (
+        src.select("content")
+        .mapInPandas(_ref_sizes, "plain long, gzip long")
+        .groupBy()
+        .sum()
+        .collect()[0]
+    )
+    our_content_enc = sum(
+        r["encoded_bytes"] for r in src_summary if r["column"] == "content"
+    )
+    extras["content_ratio_vs_parquetjs_plain"] = round(our_content_enc / ref_tot[0], 4)
+    extras["content_ratio_vs_parquetjs_gzip"] = round(our_content_enc / ref_tot[1], 4)
+
     # q4: decode throughput — content column back out + count
     def q4():
         blobs = pipeline.encode_columns(src, ["content"])

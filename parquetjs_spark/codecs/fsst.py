@@ -131,39 +131,176 @@ def train(sample: bytes, rounds: int = 4, max_sample: int = 1 << 15) -> list[byt
     return symbols
 
 
-def compress(data: bytes, symbols: list[bytes]) -> bytes:
-    """Greedy longest-match encode via the trie regex (C-speed matching
-    that only visits token boundaries) with an INCREMENTAL output walk:
-    one short-lived match object at a time and a single bytearray.
+PARSE_BLOCK = 64  # lockstep-parse grid; matches never span block ends
 
-    Deliberately not findall(): materializing every token at once grows
-    allocator arenas by ~10x the input size, and under 32-way
-    parallelism the resulting mmap/page-fault storm puts 75%+ of CPU in
-    the kernel (measured on this host) — the incremental form keeps
-    allocations in the free-list and scales linearly."""
+
+SEGMENT_BYTES = 1 << 20  # bound transient memory: ~15 bytes of temp per input byte
+
+
+def compress(data: bytes, symbols: list[bytes], block: int = PARSE_BLOCK) -> bytes:
+    """Greedy longest-match encode, fully vectorized (no per-token Python).
+
+    The output format is the standard FSST stream (symbol codes + 0xFF
+    escape pairs); decode does not depend on how matches were chosen, so
+    the encoder is free to restrict matches to a fixed ``block``-byte
+    grid. That restriction is what makes the parse data-parallel:
+
+    1. Pack an 8-byte big-endian window at every position (8 shift-or
+       passes over the segment).
+    2. Parse-driven lockstep match: one cursor per block, all advanced
+       simultaneously. At the visited positions only, the longest fitting
+       symbol is found via direct 256/65536-entry tables (lengths 1-2)
+       and per-length ``searchsorted`` gated by a 2-byte-prefix length
+       mask (lengths 3-8). "Fits" means the match stays inside the
+       cursor's block, so greedy choices are position-local.
+    3. Tokens land in a (step, block) matrix; transposing it yields the
+       stream in block order, and one cumsum + two scatters emit the
+       final byte stream (escapes take 2 bytes).
+
+    Input is processed in ~1 MB segments aligned to the block grid —
+    byte-identical output to a single pass, but peak transient memory
+    stays ~15 MB per call so a long-lived worker re-uses the same warm
+    arena pages forever (this VM services *new* page faults at only
+    ~45 MB/s, so allocation footprint, not arithmetic, was the encode
+    scaling ceiling; measured 75%+ kernel time at 32-way without this).
+
+    Replaces a regex-finditer walk that burned ~90% of encode CPU in
+    per-match interpreter work (measured 3 MB/s/core)."""
     n = len(data)
     if n == 0:
         return b""
+    arr_all = np.frombuffer(data, dtype=np.uint8)
     if not symbols:
         # pure escape stream: interleave 0xFF with every byte, vectorized
-        arr = np.frombuffer(data, dtype=np.uint8)
         out = np.empty(2 * n, dtype=np.uint8)
         out[0::2] = ESCAPE
-        out[1::2] = arr
+        out[1::2] = arr_all
         return out.tobytes()
-    code = {s: i for i, s in enumerate(symbols)}
-    out = bytearray()
-    ap = out.append
-    g = code.get
-    for m in _build_pattern(symbols).finditer(data):
-        t = m.group(0)
-        c = g(t)
-        if c is not None:
-            ap(c)
-        else:  # non-symbol tokens are single bytes by construction
-            ap(ESCAPE)
-            ap(t[0])
-    return bytes(out)
+
+    lut = _build_luts(symbols)
+    seg = (SEGMENT_BYTES // block) * block
+    if n <= seg:
+        return _compress_segment(arr_all, lut, block).tobytes()
+    pieces = [
+        _compress_segment(arr_all[lo : lo + seg], lut, block)
+        for lo in range(0, n, seg)
+    ]
+    return np.concatenate(pieces).tobytes()
+
+
+def _build_luts(symbols: list[bytes]):
+    # lengths 1-2: O(1) direct tables; lengths 3-8: sorted arrays gated
+    # by a 2-byte-prefix length mask so the searchsorted only ever sees
+    # positions whose first two bytes can start a symbol of that length.
+    lut1_code = np.zeros(256, dtype=np.uint8)
+    lut1_has = np.zeros(256, dtype=bool)
+    lut2_code = np.zeros(65536, dtype=np.uint8)
+    lut2_has = np.zeros(65536, dtype=bool)
+    pfx_mask = np.zeros(65536, dtype=np.uint8)  # bit (k-3): len-k symbol may start here
+    by_len: dict[int, list[tuple[int, int]]] = {}
+    for code_i, s in enumerate(symbols):
+        k = len(s)
+        if k == 1:
+            lut1_code[s[0]] = code_i
+            lut1_has[s[0]] = True
+        elif k == 2:
+            v = (s[0] << 8) | s[1]
+            lut2_code[v] = code_i
+            lut2_has[v] = True
+        else:
+            p2 = (s[0] << 8) | s[1]
+            pfx_mask[p2] |= 1 << (k - 3)
+            by_len.setdefault(k, []).append((int.from_bytes(s, "big"), code_i))
+    tables: list[tuple[int, np.ndarray, np.ndarray]] = []
+    for k in sorted(by_len, reverse=True):
+        pairs = sorted(by_len[k])
+        tables.append(
+            (
+                k,
+                np.array([p[0] for p in pairs], dtype=np.uint64),
+                np.array([p[1] for p in pairs], dtype=np.uint8),
+            )
+        )
+    return lut1_code, lut1_has, lut2_code, lut2_has, pfx_mask, tables
+
+
+def _compress_segment(arr: np.ndarray, lut, block: int) -> np.ndarray:
+    lut1_code, lut1_has, lut2_code, lut2_has, pfx_mask, tables = lut
+    n = len(arr)
+
+    # ---- 1. rolling 8-byte windows, big-endian packed ----
+    pad = np.zeros(n + 8, dtype=np.uint8)
+    pad[:n] = arr
+    w8 = np.zeros(n, dtype=np.uint64)
+    for j in range(8):
+        w8 |= pad[j : j + n].astype(np.uint64) << np.uint64(8 * (7 - j))
+
+    # ---- 2. parse-driven lockstep greedy match, one cursor per block ----
+    # Match work happens only at positions the parse actually visits
+    # (~n / avg_symbol_len), not at every byte.
+    nb = (n + block - 1) // block
+    bstart = np.arange(nb, dtype=np.int64) * block
+    bend = np.minimum(bstart + block, n)
+    cur = bstart.copy()
+    tok_code = np.empty((block, nb), dtype=np.uint8)
+    tok_esc = np.zeros((block, nb), dtype=bool)
+    tok_lit = np.empty((block, nb), dtype=np.uint8)
+    steps = np.zeros(nb, dtype=np.int64)
+    act = np.arange(nb)
+    t = 0
+    while act.size:
+        pos = cur[act]
+        rem = bend[act] - pos
+        w = w8[pos]
+        b2 = (w >> np.uint64(48)).astype(np.uint32)
+        length = np.zeros(len(act), dtype=np.int64)
+        code = np.empty(len(act), dtype=np.uint8)
+        # lengths >= 3, longest first, gated by the prefix mask
+        pm = pfx_mask[b2]
+        for k, vals_k, codes_k in tables:
+            cand = np.flatnonzero(
+                (length == 0) & (pm & (1 << (k - 3)) != 0) & (rem >= k)
+            )
+            if not cand.size:
+                continue
+            v = w[cand] >> np.uint64(8 * (8 - k))
+            at = np.searchsorted(vals_k, v)
+            at_c = np.minimum(at, len(vals_k) - 1)
+            hit = vals_k[at_c] == v
+            hp = cand[hit]
+            length[hp] = k
+            code[hp] = codes_k[at_c[hit]]
+        # length 2: direct table
+        m2 = (length == 0) & (rem >= 2) & lut2_has[b2]
+        length[m2] = 2
+        code[m2] = lut2_code[b2[m2]]
+        # length 1: direct table
+        b1 = (w >> np.uint64(56)).astype(np.uint32)
+        m1 = (length == 0) & lut1_has[b1]
+        length[m1] = 1
+        code[m1] = lut1_code[b1[m1]]
+
+        is_sym = length > 0
+        tok_code[t, act] = np.where(is_sym, code, ESCAPE)
+        tok_esc[t, act] = ~is_sym
+        tok_lit[t, act] = arr[pos]
+        cur[act] = pos + np.maximum(length, 1)
+        steps[act] += 1
+        t += 1
+        act = act[cur[act] < bend[act]]
+
+    # ---- 3. assemble: block-major order, escapes expand to 2 bytes ----
+    valid = (np.arange(t)[None, :] < steps[:, None]).ravel()  # (nb, t)
+    codes_f = tok_code[:t].T.reshape(-1)[valid]
+    esc_f = tok_esc[:t].T.reshape(-1)[valid]
+    lit_f = tok_lit[:t].T.reshape(-1)[valid]
+    out_len = esc_f.astype(np.int64) + 1
+    starts = np.zeros(len(out_len), dtype=np.int64)
+    np.cumsum(out_len[:-1], out=starts[1:])
+    out = np.empty(int(starts[-1] + out_len[-1]), dtype=np.uint8)
+    out[starts] = codes_f
+    out[starts[esc_f] + 1] = lit_f[esc_f]
+    return out
 
 
 def decompress(payload: bytes, symbols: list[bytes]) -> bytes:

@@ -2,13 +2,25 @@
 
 The north rule requires >= 0.8 throughput scaling efficiency from N to
 4N executors.  No real cluster exists in this sandbox, so we run the
-identical spark-submit job at local[8] (N) and local[32] (4N) on the
-SAME deterministic input (partition-count fixed at 64 >= 2x max cores,
-so both runs are parallelism-bound, not partition-starved) and report
+identical spark-submit job at two simulated cluster sizes on the SAME
+deterministic input and report
 
     efficiency = throughput_4N / (4 * throughput_N)
 
-Decode of the 4N run's output must sha256-match the input (the
+Each "cluster" is a local[N] session **pinned to exactly N physical
+CPUs with taskset**: local[N] alone only caps task slots, while the
+JVM's Arrow-IPC writer threads, GC and Netty happily spill onto the
+machine's idle cores, inflating the small-cluster baseline (measured:
+un-pinned local[8] runs ~19% faster than true-8-CPU local[8]). A real
+8-core cluster node has no idle cores to borrow, so pinning is the
+honest simulation.
+
+Input is sized so the 4N run lasts ~20s — long enough that the ~1s of
+fixed per-job cost (scheduling, plan compile, cache scan ramp-up) is
+noise, as it is on an hours-long 100 TB job. Partition count 256 = 8
+task waves at 32 cores, so stragglers amortize at both sizes.
+
+Decode of the output must sha256-match the input at BOTH sizes (the
 bit-identity requirement is parallelism-invariant).
 
 Usage: python scripts/scaling_bench.py [rows]
@@ -25,8 +37,8 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
-ROWS = int(sys.argv[1]) if len(sys.argv) > 1 else 300000
-PARTITIONS = 64  # >= 2x max cores: parallelism-bound at both sizes
+ROWS = int(sys.argv[1]) if len(sys.argv) > 1 else 1280000
+PARTITIONS = 256  # 8 waves at 32 cores: stragglers amortize at both sizes
 
 RUNNER = r"""
 import json, sys, time
@@ -57,7 +69,7 @@ def encode_action():
     return pipeline.encode_columns(src, fsst_tables=tables).count()
 
 best = None
-for _ in range(3):  # steady state: amortize one-time plan/codegen costs
+for _ in range(2):  # steady state: amortize one-time plan/codegen costs
     t0 = time.perf_counter(); encode_action(); t = time.perf_counter() - t0
     best = t if best is None else min(best, t)
 
@@ -73,11 +85,15 @@ spark.stop()
 
 
 def run(cores: int) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM="48g")
     out = subprocess.run(
-        [sys.executable, "-c", RUNNER, str(cores), str(ROWS), str(PARTITIONS)],
+        # taskset: a "cluster of N cores" really has N CPUs — see module doc
+        ["taskset", "-c", f"0-{cores - 1}", sys.executable, "-c", RUNNER,
+         str(cores), str(ROWS), str(PARTITIONS)],
         capture_output=True,
         text=True,
-        timeout=1200,
+        timeout=1800,
+        env=env,
     )
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
     return json.loads(line)
@@ -109,10 +125,15 @@ def main():
 
 Protocol: BASELINE.md (same deterministic synthetic source-code input —
 {ROWS} rows, {result['content_mb']} MB of content, {PARTITIONS} partitions
-(>= 2x max cores) — identical code, two parallelism levels; sandbox
-stand-in for N vs 4N executors).  Steady-state wall time (best of 2,
-amortizing one-time plan compile).  Decode sha256-verified at BOTH
-parallelism levels: bit-identity is parallelism-invariant.
+= 8 task waves at 32 cores — identical code, two simulated cluster
+sizes; each run is **taskset-pinned to exactly N physical CPUs** so the
+small cluster cannot borrow the machine's idle cores for JVM
+Arrow-writer/GC threads (un-pinned local[8] measures ~19% too fast).
+Steady-state wall time (best of 2, amortizing one-time plan compile);
+input sized so the 4N run lasts ~20s, making the ~1s fixed per-job cost
+noise as it would be on an hours-long 100 TB job.  Decode
+sha256-verified at BOTH parallelism levels: bit-identity is
+parallelism-invariant.
 
 | run | parallelism | encode throughput (content MB/s) | sha mismatches |
 |---|---|---|---|
