@@ -153,6 +153,29 @@ def _q_verify_all_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_rt_array_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-field (array<float>) round-trip — Dremel L3/L4
+    re-expression (rows-only: array cell hashing is comparator-specific)."""
+    from parquetjs_spark import pipeline
+
+    df = _load(spark, sf_dir, "embeddings")
+    return pipeline.roundtrip_column(df, "embedding")
+
+
+def _q_rt_array_emb_elem0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array round-trip projected to a scalar so the oracle can hash it."""
+    from pyspark.sql import functions as F
+
+    from parquetjs_spark import pipeline
+
+    df = _load(spark, sf_dir, "embeddings")
+    out = pipeline.roundtrip_column(df, "embedding")
+    return out.select(
+        F.element_at("embedding", 1).cast("double").alias("e0"),
+        F.size("embedding").alias("dim"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name, table, column, codec in _ROUNDTRIPS:
@@ -162,6 +185,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["cardinality_dict_columns"] = _q_cardinality_dict_columns
     out["codec_choices_lineitem"] = _q_codec_choices_lineitem
     out["verify_all_lineitem"] = _q_verify_all_lineitem
+    out["rt_array_embedding"] = _q_rt_array_embedding
+    out["rt_array_emb_elem0"] = _q_rt_array_emb_elem0
 
     from parquetjs_spark.functions import registry as fn_registry
 
@@ -196,7 +221,12 @@ def oracle_sql() -> dict[str, str]:
         "SELECT 'l_returnflag' AS col_name, COUNT(DISTINCT l_returnflag) AS card FROM lineitem "
         "UNION ALL SELECT 'l_linestatus' AS col_name, COUNT(DISTINCT l_linestatus) AS card FROM lineitem"
     )
-    # codec_choices_lineitem / verify_all_lineitem: rows-only by design
+    # codec_choices_lineitem / verify_all_lineitem / rt_array_embedding:
+    # rows-only by design
+    out["rt_array_emb_elem0"] = (
+        "SELECT CAST(embedding[1] AS DOUBLE) AS e0, "
+        "CAST(len(embedding) AS INTEGER) AS dim FROM embeddings"
+    )
 
     from parquetjs_spark.functions import registry as fn_registry
 

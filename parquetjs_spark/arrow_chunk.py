@@ -381,6 +381,112 @@ def _canonical_sha256_block(values, valid: np.ndarray, dtype: str) -> str:
 # --------------------------------------------------------------------------
 
 
+def _list_parts(arr: pa.Array, dtype: str):
+    """Split a ListArray into (lens int64[nn], flat_values, valid) — the
+    one-level Dremel pivot (repetition levels collapse to per-row counts
+    when rLevelMax=1; /root/reference/lib/shred.js:100-135 semantics)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if arr.null_count:
+        valid = pc.is_valid(arr).to_numpy(zero_copy_only=False)
+        nn = arr.drop_null()
+    else:
+        valid = np.ones(len(arr), dtype=bool)
+        nn = arr
+    if isinstance(nn, pa.ChunkedArray):
+        nn = nn.combine_chunks()
+    lens = pc.list_value_length(nn).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = nn.flatten()
+    if flat.null_count:
+        raise NotImplementedError(
+            "null elements inside repeated fields are not supported "
+            "(reference repeated values are non-null; lib/shred.js:118-125)"
+        )
+    elem_dtype = dtype[len("list_") :]
+    elem_values, _ = _arrow_to_values(flat, elem_dtype)
+    return lens, elem_values, valid, elem_dtype
+
+
+def _canonical_sha256_list(lens: np.ndarray, elem_values, valid, elem_dtype) -> str:
+    if elem_dtype in ("string", "binary"):
+        body = _plain_stream(elem_values)
+    else:
+        body = plain.encode_numeric(_PTYPE[elem_dtype], np.asarray(elem_values))
+    h = hashlib.sha256(body)
+    h.update(b"|")
+    h.update(lens.astype("<i8").tobytes())
+    h.update(b"|")
+    h.update(np.packbits(valid.view(np.uint8), bitorder="little").tobytes())
+    return h.hexdigest()
+
+
+def _encode_list_column(
+    arr: pa.Array, dtype: str, codec: str, fsst_state: dict | None
+):
+    """Payload: u32 lens_len ++ FOR-encoded per-row counts ++ flattened
+    elements under a scalar codec (recorded in the chunk codec byte)."""
+    lens, elem_values, valid, elem_dtype = _list_parts(arr, dtype)
+    sel_info: dict = {}
+    if elem_dtype == "string":
+        if codec == "auto":
+            codec, sel_info = _select_string_codec(elem_values, fsst_state)
+        if codec == PLAIN:
+            elem_raw = _plain_stream(elem_values)
+        elif codec == DICT_RLE:
+            elem_raw = _encode_dict_block(elem_values)
+        elif codec == FSST:
+            elem_raw = _encode_fsst_block(elem_values, fsst_state)
+        else:
+            raise ValueError(f"codec {codec} unsupported for {dtype}")
+        content = elem_values.total
+    else:
+        from . import chunk as chunklib
+
+        if codec == "auto":
+            codec, sel_info = chunklib.select_codec(elem_values, elem_dtype, fsst_state)
+        elem_raw = chunklib._encode_values(elem_values, elem_dtype, codec, None, fsst_state)
+        content = int(np.asarray(elem_values).nbytes)
+    lens_enc = for_bp.encode(lens)
+    values_raw = len(lens_enc).to_bytes(4, "little") + lens_enc + elem_raw
+    sha = _canonical_sha256_list(lens, elem_values, valid, elem_dtype)
+    return values_raw, valid, codec, content + 8 * len(lens), sha, sel_info
+
+
+def _decode_list_column(
+    values_raw: bytes, nn: int, dtype: str, codec: str, valid: np.ndarray
+) -> pa.Array:
+    mv = memoryview(values_raw)
+    lens_len = int.from_bytes(bytes(mv[:4]), "little")
+    lens = for_bp.decode(mv[4 : 4 + lens_len], nn)
+    elem_mv = mv[4 + lens_len :]
+    n_elems = int(lens.sum())
+    elem_dtype = dtype[len("list_") :]
+    if elem_dtype == "string":
+        if codec == PLAIN:
+            elems = _plain_stream_decode(elem_mv, n_elems)
+        elif codec == DICT_RLE:
+            elems = _decode_dict_block(elem_mv, n_elems)
+        elif codec == FSST:
+            elems = _decode_fsst_block(elem_mv, n_elems)
+        else:
+            raise ValueError(f"codec {codec} unsupported for {dtype}")
+        child = elems.to_pa(binary=False).cast(pa.string())
+    else:
+        from . import chunk as chunklib
+
+        vals = chunklib._decode_values(elem_mv, n_elems, elem_dtype, codec)
+        child = pa.array(np.asarray(vals), type=_PA_TYPES[elem_dtype])
+    offsets = np.zeros(nn + 1, dtype=np.int32)
+    np.cumsum(lens, out=offsets[1:])
+    dense = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), child)
+    n = len(valid)
+    if valid.all():
+        return dense
+    idx = np.full(n, -1, dtype=np.int64)
+    idx[valid] = np.arange(nn)
+    return dense.take(pa.array(idx, mask=~valid))
+
+
 def encode_arrow_column(
     arr: pa.Array,
     dtype: str,
@@ -388,6 +494,16 @@ def encode_arrow_column(
     compression: str = "auto",
     fsst_state: dict | None = None,
 ) -> tuple[bytes, dict]:
+    if dtype.startswith("list_"):
+        values_raw, valid, codec, content_bytes, sha, sel_info = _encode_list_column(
+            arr, dtype, codec, fsst_state
+        )
+        n = len(valid)
+        n_nulls = int(n - valid.sum())
+        return _assemble_blob(
+            dtype, codec, compression, n, n_nulls, valid, values_raw,
+            content_bytes, sha, sel_info,
+        )
     values, valid = _arrow_to_values(arr, dtype)
     n = len(valid)
     n_nulls = int(n - valid.sum())
@@ -415,6 +531,16 @@ def encode_arrow_column(
             (len(values) + 7) // 8 if dtype == "bool" else int(np.asarray(values).nbytes)
         )
 
+    return _assemble_blob(
+        dtype, codec, compression, n, n_nulls, valid, values_raw,
+        content_bytes, _canonical_sha256_block(values, valid, dtype), sel_info,
+    )
+
+
+def _assemble_blob(
+    dtype, codec, compression, n, n_nulls, valid, values_raw, content_bytes,
+    sha, sel_info,
+) -> tuple[bytes, dict]:
     if compression == "auto":
         z = zlib.compress(values_raw, 6)
         if len(z) < 0.97 * len(values_raw) - 16:
@@ -449,7 +575,7 @@ def encode_arrow_column(
         "n_nulls": n_nulls,
         "content_bytes": content_bytes,
         "encoded_bytes": len(blob),
-        "sha256": _canonical_sha256_block(values, valid, dtype),
+        "sha256": sha,
         "selector": sel_info,
     }
     return blob, stats
@@ -475,6 +601,8 @@ def decode_arrow_column(blob: bytes | memoryview) -> tuple[pa.Array, str]:
     pos += levels_len
     values_raw = comp.decompress(compression, bytes(mv[pos : pos + values_len]))
     nn = n - n_nulls
+    if dtype.startswith("list_"):
+        return _decode_list_column(values_raw, nn, dtype, codec, valid), dtype
     if dtype in ("string", "binary"):
         if codec == PLAIN:
             block = _plain_stream_decode(memoryview(values_raw), nn)
@@ -493,5 +621,8 @@ def decode_arrow_column(blob: bytes | memoryview) -> tuple[pa.Array, str]:
 
 def verify_arrow(blob: bytes, expected_sha: str) -> bool:
     arr, dtype = decode_arrow_column(blob)
+    if dtype.startswith("list_"):
+        lens, elem_values, valid, elem_dtype = _list_parts(arr, dtype)
+        return _canonical_sha256_list(lens, elem_values, valid, elem_dtype) == expected_sha
     values, valid = _arrow_to_values(arr, dtype)
     return _canonical_sha256_block(values, valid, dtype) == expected_sha

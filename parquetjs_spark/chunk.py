@@ -62,6 +62,17 @@ DTYPE_IDS = {
     "binary": 6,
     "date": 7,  # int32 days since epoch (lib/types.js:54-59 semantics)
     "timestamp_us": 8,  # int64 micros (lib/types.js:60-71 semantics)
+    # one-level repeated fields (Dremel rLevelMax=1, SURVEY.md §1.3 /
+    # /root/reference/lib/shred.js:28-73 for `repeated` leaves): stored
+    # as per-row element counts (the repetition-level run-length form)
+    # + the flattened elements under any scalar codec. Element-level
+    # nulls are not supported (reference repeated fields are non-null
+    # per value too: a missing value just ends the repetition).
+    "list_int64": 9,
+    "list_int32": 10,
+    "list_float64": 11,
+    "list_float32": 12,
+    "list_string": 13,
 }
 DTYPE_NAMES = {v: k for k, v in DTYPE_IDS.items()}
 
@@ -366,6 +377,20 @@ def encode_chunk(
     compression: str = "auto",
     fsst_state: dict | None = None,
 ) -> tuple[bytes, dict]:
+    if dtype.startswith("list_"):
+        # one-level repeated fields: delegate to the Arrow path (the
+        # wire format is defined once there); lazy import avoids a cycle
+        import pyarrow as pa
+
+        from . import arrow_chunk
+
+        elem = dtype[len("list_") :]
+        pa_elem = {"int64": pa.int64(), "int32": pa.int32(), "float64": pa.float64(),
+                   "float32": pa.float32(), "string": pa.string()}[elem]
+        arr = pa.array(series.tolist(), type=pa.list_(pa_elem))
+        return arrow_chunk.encode_arrow_column(
+            arr, dtype, codec=codec, compression=compression, fsst_state=fsst_state
+        )
     vals, valid = series_to_values(series, dtype)
     n = len(valid)
     n_nulls = int(n - valid.sum())
@@ -438,6 +463,11 @@ def decode_chunk(blob: bytes | memoryview) -> tuple[pd.Series, str]:
     mv = memoryview(blob)
     if bytes(mv[:4]) != MAGIC:
         raise ValueError("bad chunk magic")
+    if DTYPE_NAMES[mv[4]].startswith("list_"):
+        from . import arrow_chunk
+
+        arr, dtype = arrow_chunk.decode_arrow_column(blob)
+        return pd.Series(arr.to_pylist(), dtype=object), dtype
     dtype = DTYPE_NAMES[mv[4]]
     codec = CODEC_NAMES[mv[5]]
     compression = comp.comp_name(mv[6])
@@ -462,6 +492,10 @@ def decode_chunk(blob: bytes | memoryview) -> tuple[pd.Series, str]:
 
 def verify_chunk(blob: bytes, expected_sha: str) -> bool:
     """Decode and re-hash — the bit-identity check (BASELINE.json:15)."""
+    if DTYPE_NAMES[memoryview(blob)[4]].startswith("list_"):
+        from . import arrow_chunk
+
+        return arrow_chunk.verify_arrow(blob, expected_sha)
     series, dtype = decode_chunk(blob)
     vals, valid = series_to_values(series, dtype)
     return canonical_sha256(vals, valid, dtype) == expected_sha

@@ -40,9 +40,20 @@ def cmd_encode(args) -> int:
 
     from parquetjs_spark import pipeline
 
+    from parquetjs_spark.sources.iceberg import load_source_table
+
     spark = _spark(args)
-    df = spark.read.parquet(args.input)
+    df = load_source_table(spark, args.input)
     cols = args.columns.split(",") if args.columns else None
+    missing = [c for c in (cols or [])] + ([args.salt_key] if args.salt_key else [])
+    missing = [c for c in missing if c not in df.columns]
+    if missing:
+        print(
+            f"error: column(s) {missing} not in input "
+            f"(available: {df.columns})",
+            file=sys.stderr,
+        )
+        return 2
     if args.salt_key:
         df = pipeline.salted_repartition(
             df, args.salt_key, args.partitions or 200, args.salt_buckets
@@ -60,6 +71,12 @@ def cmd_encode(args) -> int:
         blobs = pipeline.encode_columns(df, cols, chunk_rows=args.chunk_rows)
         mode = "overwrite"
     pipeline.write_encoded(blobs, args.output, mode=mode)
+    if args.resume_from:
+        written = pipeline.read_manifest(spark, args.output).count()
+        already = pipeline.read_manifest(spark, args.resume_from).count()
+        print(json.dumps({"resumed_from": args.resume_from,
+                          "chunks_already_committed": already,
+                          "chunks_encoded_this_run": written}))
     summary = pipeline.encode_summary(pipeline.read_encoded(spark, args.output))
     for r in summary.collect():
         print(json.dumps(r.asDict()))
@@ -97,7 +114,11 @@ def main(argv: list[str] | None = None) -> int:
     sub = p.add_subparsers(dest="cmd", required=True)
 
     pe = sub.add_parser("encode")
-    pe.add_argument("--input", required=True)
+    pe.add_argument(
+        "--input",
+        required=True,
+        help="parquet path, or iceberg:<catalog.db.table>[@snapshot|#branch]",
+    )
     pe.add_argument("--output", required=True)
     pe.add_argument("--columns", default=None, help="comma-separated; default all")
     pe.add_argument("--chunk-rows", type=int, default=4096)

@@ -65,11 +65,25 @@ _LOGICAL_TO_SPARK: dict[str, T.DataType] = {
 }
 
 
+_LIST_ELEMS = {"int64", "int32", "float64", "float32", "string"}
+
+
 def logical_dtype(spark_type: T.DataType) -> str:
+    if isinstance(spark_type, T.ArrayType):
+        elem = logical_dtype(spark_type.elementType)
+        if elem not in _LIST_ELEMS:
+            raise ValueError(f"unsupported array element type: {elem}")
+        return f"list_{elem}"
     for cls, name in _SPARK_TO_LOGICAL.items():
         if isinstance(spark_type, cls):
             return name
     raise ValueError(f"unsupported Spark type: {spark_type}")
+
+
+def spark_type_of(dtype: str) -> T.DataType:
+    if dtype.startswith("list_"):
+        return T.ArrayType(_LOGICAL_TO_SPARK[dtype[len("list_") :]])
+    return _LOGICAL_TO_SPARK[dtype]
 
 
 BLOB_SCHEMA = T.StructType(
@@ -298,9 +312,12 @@ def decode_column(
             raise ValueError(f"no chunks for column {column}")
         dtype = dtype_rows[0][0]
     out_schema = T.StructType(
-        [T.StructField(out_name, out_type or _LOGICAL_TO_SPARK[dtype])]
+        [T.StructField(out_name, out_type or spark_type_of(dtype))]
     )
-    pa_type = _LOGICAL_TO_PA[dtype]
+    if dtype.startswith("list_"):
+        pa_type = pa.list_(_LOGICAL_TO_PA[dtype[len("list_") :]])
+    else:
+        pa_type = _LOGICAL_TO_PA[dtype]
     if isinstance(out_type, T.TimestampType):
         # tz-aware Spark timestamps travel as UTC-instant arrow timestamps
         pa_type = pa.timestamp("us", tz="UTC")
