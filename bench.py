@@ -43,7 +43,9 @@ def timed(fn):
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    src_rows = int(os.environ.get("BENCH_SOURCE_ROWS", "20000"))
+    # sized so 4096-row chunks fill (selector behaves as at scale) and
+    # per-job fixed costs are noise: 160k rows ~= 327 MB of content
+    src_rows = int(os.environ.get("BENCH_SOURCE_ROWS", "160000"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
     spark = get_spark("bench", cores=cpus, shuffle_partitions=cpus)

@@ -31,6 +31,7 @@ from .chunk import (
     MAGIC,
     SAMPLE_BYTES,
     SAMPLE_VALUES,
+    SEL_CACHE_USES,
     _PTYPE,
 )
 from .codecs import (
@@ -250,6 +251,14 @@ def _select_string_codec(block: StrBlock, fsst_state: dict | None) -> tuple[str,
     info: dict = {}
     if n == 0:
         return PLAIN, info
+    # decision cache: one column's chunks within a task are near-i.i.d.,
+    # so re-measuring plain-vs-fsst on every chunk wastes ~15% of encode
+    # CPU; re-evaluate every SEL_CACHE_USES chunks to bound drift
+    if fsst_state is not None and "sel" in fsst_state:
+        if fsst_state.get("sel_uses", 0) < SEL_CACHE_USES:
+            fsst_state["sel_uses"] = fsst_state.get("sel_uses", 0) + 1
+            return fsst_state["sel"], {"cached": True}
+        del fsst_state["sel"]
     total = block.total
     sample = block.slice_values(min(n, SAMPLE_VALUES))
     arr = sample.to_pa(binary=True)
@@ -265,7 +274,11 @@ def _select_string_codec(block: StrBlock, fsst_state: dict | None) -> tuple[str,
         PLAIN: total + 4 * n,
         DICT_RLE: int((9 + dict_bytes + est_idx) * scale),
     }
-    if card > max(16, 0.05 * sample.n) and total > 0:
+    # Evaluate FSST unless dictionary is *clearly* winning: low sample
+    # cardinality alone is no reason to skip — when the uniques carry
+    # most of the bytes (long repeated documents), dict saves little and
+    # FSST still competes on the byte content itself.
+    if total > 0 and cands[DICT_RLE] > 0.35 * cands[PLAIN]:
         concat = sample.concat_bytes()[:SAMPLE_BYTES]
         if len(concat) >= 256:
             table = None if fsst_state is None else fsst_state.get("table")
@@ -281,7 +294,11 @@ def _select_string_codec(block: StrBlock, fsst_state: dict | None) -> tuple[str,
             if cands[FSST] > 0.9 * cands[PLAIN]:
                 cands.pop(FSST)
     info.update(cardinality=card, runs=runs, sizes=cands)
-    return min(cands, key=cands.get), info
+    choice = min(cands, key=cands.get)
+    if fsst_state is not None:
+        fsst_state["sel"] = choice
+        fsst_state["sel_uses"] = 0
+    return choice, info
 
 
 # --------------------------------------------------------------------------

@@ -87,7 +87,13 @@ _PTYPE = {
 }
 
 SAMPLE_VALUES = 4096  # selector cardinality/run sample
-SAMPLE_BYTES = 1 << 16  # selector FSST/zlib training sample
+# selector FSST-vs-zlib measurement sample: must be >> zlib's 32 KB
+# window or PLAIN+zlib looks artificially strong (measured on the
+# synthetic content column: fsst/plain size ratio reads 0.997 at 64 KB
+# vs 0.867 ground truth at 8 MB; 512 KB reads 0.895). The cost is
+# amortized by the per-column selector decision cache (SEL_CACHE_USES).
+SAMPLE_BYTES = 1 << 19
+SEL_CACHE_USES = 16  # chunks per task re-using one selector decision
 
 
 # --------------------------------------------------------------------------
@@ -331,6 +337,12 @@ def select_codec(vals, dtype: str, fsst_state: dict | None = None) -> tuple[str,
     if dtype == "bool":
         return PLAIN, info
     # strings / binary: measure on a byte sample
+    # (decision cache: same policy as arrow_chunk._select_string_codec)
+    if fsst_state is not None and "sel" in fsst_state:
+        if fsst_state.get("sel_uses", 0) < SEL_CACHE_USES:
+            fsst_state["sel_uses"] = fsst_state.get("sel_uses", 0) + 1
+            return fsst_state["sel"], {"cached": True}
+        del fsst_state["sel"]
     lens = np.fromiter((len(v) for v in vals), dtype=np.int64, count=n)
     total = int(lens.sum())
     sample_vals = vals[: max(1, min(n, SAMPLE_VALUES))]
@@ -341,7 +353,10 @@ def select_codec(vals, dtype: str, fsst_state: dict | None = None) -> tuple[str,
     # Candidate sizes are estimated POST block-compression — comparing raw
     # encodings would make FSST look dominant even where zlib-on-PLAIN
     # ends up the same size at half the CPU.
-    if ds["cardinality"] > max(16, 0.05 * len(sample_vals)) and total > 0:
+    # Evaluate FSST unless dictionary is *clearly* winning (same rule as
+    # arrow_chunk._select_string_codec): low cardinality alone is no
+    # reason to skip when the uniques carry most of the bytes.
+    if total > 0 and cands[DICT_RLE] > 0.35 * cands[PLAIN]:
         concat = b"".join(sample_vals)[:SAMPLE_BYTES]
         if len(concat) >= 256:
             table = None if fsst_state is None else fsst_state.get("table")
@@ -362,7 +377,11 @@ def select_codec(vals, dtype: str, fsst_state: dict | None = None) -> tuple[str,
             if cands[FSST] > 0.9 * cands[PLAIN]:
                 cands.pop(FSST)
     info.update(cardinality=ds["cardinality"], runs=ds["runs"], sizes=cands)
-    return min(cands, key=cands.get), info
+    choice = min(cands, key=cands.get)
+    if fsst_state is not None:
+        fsst_state["sel"] = choice
+        fsst_state["sel_uses"] = 0
+    return choice, info
 
 
 # --------------------------------------------------------------------------

@@ -350,16 +350,30 @@ def decompress(payload: bytes, symbols: list[bytes]) -> bytes:
     out[starts[lit_mask]] = arr[lit_mask]
     codes = arr[code_mask]
     code_starts = starts[code_mask].astype(np.int64)
-    # sort-free expansion: pad the symbol table into a (256 x 8) byte
-    # matrix; one masked gather pulls every symbol's bytes in stream
-    # order, one masked scatter places them
+    # sort-free expansion, grouped by symbol length: pad the symbol table
+    # into a (256 x 8) byte matrix, then for each length L scatter the
+    # L-byte symbols' bytes with an exact-size (k, L) index block. The
+    # per-length grouping cuts memory traffic ~3x vs one masked
+    # (n_codes, 8) matrix — the int64 index matrix alone was 8x the
+    # output size, and on this VM fresh allocations are the bottleneck.
     symmat = np.zeros((256, MAX_SYMBOL_LEN), dtype=np.uint8)
     for i, s in enumerate(symbols):
         symmat[i, : len(s)] = np.frombuffer(s, dtype=np.uint8)
-    width = np.arange(MAX_SYMBOL_LEN)
-    sel = width[None, :] < symlen[codes][:, None]
-    idx_mat = code_starts[:, None] + width[None, :]
-    out[idx_mat[sel]] = symmat[codes][sel]
+    # batch the expansion so peak temporaries stay ~16 MB regardless of
+    # payload size (same warm-arena rationale as compress segmenting)
+    code_lens = symlen[codes]
+    batch = 1 << 19
+    for lo in range(0, len(codes), batch):
+        c_b = codes[lo : lo + batch]
+        l_b = code_lens[lo : lo + batch]
+        s_b = code_starts[lo : lo + batch]
+        for L in range(1, MAX_SYMBOL_LEN + 1):
+            m = l_b == L
+            if not m.any():
+                continue
+            st = s_b[m]
+            idx = st[:, None] + np.arange(L)
+            out[idx.reshape(-1)] = symmat[c_b[m], :L].reshape(-1)
     return out.tobytes()
 
 
