@@ -120,9 +120,19 @@ def q_emb_lsh_topk_vec0(spark, sf_dir):
 
 
 def q_emb_near_dup_pairs(spark, sf_dir):
+    from pyspark.sql import functions as F
+
     from . import similarity
 
-    return similarity.embedding_near_dup_pairs(_embs(spark, sf_dir))
+    # the synthetic embeddings contain no true near-dups (max candidate
+    # cosine ~0.36 at sf0.01), so demonstrate the full LSH-bucket-join +
+    # exact-rescore machinery via the top-scored candidate pairs rather
+    # than an empty set behind the production 0.95 cutoff
+    return (
+        similarity.embedding_near_dup_pairs(_embs(spark, sf_dir), min_score_u=0)
+        .orderBy(F.desc("score_u"), "vec_a", "vec_b")
+        .limit(25)
+    )
 
 
 # --- multimodal --------------------------------------------------------------
