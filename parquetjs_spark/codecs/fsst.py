@@ -228,16 +228,21 @@ def _compress_segment(arr: np.ndarray, lut, block: int) -> np.ndarray:
     lut1_code, lut1_has, lut2_code, lut2_has, pfx_mask, tables = lut
     n = len(arr)
 
-    # ---- 1. rolling 8-byte windows, big-endian packed ----
+    # ---- 1. zero-padded input for boundary-free window gathers ----
     pad = np.zeros(n + 8, dtype=np.uint8)
     pad[:n] = arr
-    w8 = np.zeros(n, dtype=np.uint64)
-    for j in range(8):
-        w8 |= pad[j : j + n].astype(np.uint64) << np.uint64(8 * (7 - j))
+    # unaligned byte-strided uint64 view: window_le[i] = bytes i..i+7 as
+    # little-endian u64 (x86/arm64 handle unaligned loads natively), so
+    # one gather + byteswap yields the big-endian 8-byte window
+    window_le = np.ndarray(buffer=pad, shape=(n + 1,), strides=(1,), dtype="<u8")
 
     # ---- 2. parse-driven lockstep greedy match, one cursor per block ----
     # Match work happens only at positions the parse actually visits
-    # (~n / avg_symbol_len), not at every byte.
+    # (~n / avg_symbol_len), not at every byte: the 8-byte big-endian
+    # window is packed on demand at cursor positions (8 gathers of the
+    # active set) instead of precomputing an 8-bytes-per-input-byte w8
+    # array — 16n of streaming traffic replaced by ~2.7n of gathers,
+    # which is what multi-core scaling on a shared memory system wants.
     nb = (n + block - 1) // block
     bstart = np.arange(nb, dtype=np.int64) * block
     bend = np.minimum(bstart + block, n)
@@ -251,7 +256,7 @@ def _compress_segment(arr: np.ndarray, lut, block: int) -> np.ndarray:
     while act.size:
         pos = cur[act]
         rem = bend[act] - pos
-        w = w8[pos]
+        w = window_le[pos].byteswap()
         b2 = (w >> np.uint64(48)).astype(np.uint32)
         length = np.zeros(len(act), dtype=np.int64)
         code = np.empty(len(act), dtype=np.uint8)
