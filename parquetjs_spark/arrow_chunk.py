@@ -311,6 +311,9 @@ def _arrow_to_values(arr: pa.Array, dtype: str):
     and an np array otherwise; valid is a bool ndarray."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    if pa.types.is_null(arr.type):
+        # void column (NullType source): all definition levels, no values
+        arr = arr.cast(pa.string())
     if arr.null_count:
         valid = pc.is_valid(arr).to_numpy(zero_copy_only=False)
         nn = arr.drop_null()

@@ -114,5 +114,7 @@ def decode(
             offset += nbytes_rep
             parts.append(np.full(n, value, dtype=np.uint64))
             got += n
+    if not parts:  # count == 0: empty column chunk
+        return np.empty(0, dtype=np.uint64)
     values = parts[0] if len(parts) == 1 else np.concatenate(parts)
     return values[:count]  # trim bit-pack padding (rle.js:143)

@@ -69,6 +69,11 @@ _LIST_ELEMS = {"int64", "int32", "float64", "float32", "string"}
 
 
 def logical_dtype(spark_type: T.DataType) -> str:
+    if isinstance(spark_type, T.NullType):
+        # a void column is pure definition levels (every value null,
+        # lib/shred.js:100-114 semantics); carry it as an all-null
+        # string column — the value type is vacuous
+        return "string"
     if isinstance(spark_type, T.ArrayType):
         elem = logical_dtype(spark_type.elementType)
         if elem not in _LIST_ELEMS:

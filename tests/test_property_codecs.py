@@ -1,0 +1,151 @@
+"""Property-based round-trip tests (hypothesis) for every codec kernel.
+
+The reference has no property-based testing (SURVEY.md §5 — mocha unit
+tests with golden vectors only); these pin decode(encode(x)) == x over
+randomized inputs, including adversarial bytes (0xFF escape marker,
+NULs, empty values) and boundary sizes around the RLE 8-value padding
+and the FSST 64-byte parse grid.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+
+from parquetjs_spark import chunk as chunklib
+from parquetjs_spark.codecs import dictionary, for_bp, fsst, plain, rle
+
+FAST = settings(max_examples=40, deadline=None)
+
+
+# --- RLE hybrid -----------------------------------------------------------
+
+
+@FAST
+@given(
+    st.lists(st.integers(0, 2**20 - 1), min_size=0, max_size=300),
+    st.booleans(),
+)
+def test_rle_roundtrip(values, envelope):
+    arr = np.array(values, dtype=np.uint64)
+    width = int(max(values).bit_length()) if values else 1
+    width = max(width, 1)
+    buf = rle.encode(arr, width, disable_envelope=not envelope)
+    out = rle.decode(memoryview(buf), len(values), width, disable_envelope=not envelope)
+    assert out.tolist() == values
+
+
+@FAST
+@given(st.integers(1, 300), st.integers(0, 255))
+def test_rle_constant_runs(n, v):
+    arr = np.full(n, v, dtype=np.uint64)
+    buf = rle.encode(arr, 8, disable_envelope=True)
+    out = rle.decode(memoryview(buf), n, 8, disable_envelope=True)
+    assert (out == v).all()
+
+
+# --- FSST ------------------------------------------------------------------
+
+
+@FAST
+@given(st.binary(min_size=0, max_size=4096))
+def test_fsst_arbitrary_bytes_roundtrip(data):
+    table = fsst.train(data)
+    assert fsst.decompress(fsst.compress(data, table), table) == data
+
+
+@FAST
+@given(st.binary(min_size=0, max_size=512))
+def test_fsst_foreign_table_roundtrip(data):
+    # table trained on unrelated text must still round-trip any input
+    table = fsst.train(b"the quick brown fox jumps over the lazy dog " * 30)
+    assert fsst.decompress(fsst.compress(data, table), table) == data
+
+
+@FAST
+@given(st.integers(0, 8), st.integers(55, 75))
+def test_fsst_parse_grid_boundaries(pad_ff, n):
+    # sizes straddling the 64-byte parse grid, with 0xFF runs at the seam
+    data = b"a" * n + b"\xff" * pad_ff + b"repeat " * 20
+    table = fsst.train(data)
+    assert fsst.decompress(fsst.compress(data, table), table) == data
+
+
+# --- chunk-level (codec auto-selection + nulls + compression) ---------------
+
+
+@FAST
+@given(
+    st.lists(
+        st.one_of(st.none(), st.integers(-(2**62), 2**62)),
+        min_size=0,
+        max_size=200,
+    )
+)
+def test_chunk_int64_auto_roundtrip(values):
+    s = pd.Series(values, dtype=object)
+    blob, stats = chunklib.encode_chunk(s, "int64")
+    out, dtype = chunklib.decode_chunk(blob)
+    assert dtype == "int64"
+    got = [None if pd.isna(v) else int(v) for v in out.tolist()]
+    assert got == values
+    assert chunklib.verify_chunk(blob, stats["sha256"])
+
+
+@FAST
+@given(
+    st.lists(
+        st.one_of(st.none(), st.text(max_size=60)),
+        min_size=0,
+        max_size=200,
+    )
+)
+def test_chunk_string_auto_roundtrip(values):
+    s = pd.Series(values, dtype=object)
+    blob, stats = chunklib.encode_chunk(s, "string")
+    out, dtype = chunklib.decode_chunk(blob)
+    assert dtype == "string"
+    got = [None if v is None else v for v in out.where(out.notna(), None).tolist()]
+    assert got == values
+    assert chunklib.verify_chunk(blob, stats["sha256"])
+
+
+@FAST
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.lists(st.integers(-(2**31), 2**31 - 1), max_size=12),
+        ),
+        min_size=0,
+        max_size=80,
+    )
+)
+def test_chunk_list_int64_auto_roundtrip(values):
+    s = pd.Series(values, dtype=object)
+    blob, stats = chunklib.encode_chunk(s, "list_int64")
+    out, dtype = chunklib.decode_chunk(blob)
+    assert dtype == "list_int64"
+    assert out.tolist() == values
+    assert chunklib.verify_chunk(blob, stats["sha256"])
+
+
+# --- FOR+bitpack / dictionary ------------------------------------------------
+
+
+@FAST
+@given(st.lists(st.integers(-(2**40), 2**40), min_size=0, max_size=300))
+def test_for_bitpack_roundtrip(values):
+    arr = np.array(values, dtype=np.int64)
+    buf = for_bp.encode(arr)
+    out = for_bp.decode(memoryview(buf), len(values))
+    assert out.tolist() == values
+
+
+@FAST
+@given(st.lists(st.binary(min_size=0, max_size=30), min_size=0, max_size=200))
+def test_dictionary_roundtrip_bytes(values):
+    buf = dictionary.encode(values, "BYTE_ARRAY")
+    out = dictionary.decode(memoryview(buf), len(values), "BYTE_ARRAY")
+    assert list(out) == values
