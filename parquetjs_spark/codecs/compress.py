@@ -4,9 +4,17 @@ of the reference's per-column-chunk compression
 
 Always available: UNCOMPRESSED (identity, compression.js:48-50), GZIP
 (zlib, compression.js:52-54), ZLIB (raw deflate-with-header — cheaper
-framing than gzip, our default).  SNAPPY and BROTLI are optional in the
-reference too (its LZO/BROTLI are lazy-required, compression.js:33-35);
-we gate them behind import-try and fall back to ZLIB.
+framing than gzip, our default).  SNAPPY and BROTLI — optional,
+lazy-required in the reference (compression.js:33-35, :56-70) — are
+served by pyarrow's bundled C++ codecs (no extra install); LZ4 and ZSTD
+are added beyond the reference because they are standard Parquet codecs
+a Spark-native engine is expected to speak.
+
+Wire detail: pyarrow's one-shot ``Codec.decompress`` requires the exact
+decompressed size up front, so every pyarrow-backed codec stores an
+8-byte LE raw-length prefix ahead of the compressed bytes.  zlib/gzip
+streams are self-terminating and stay prefix-free (blob compatibility
+with round 1).
 """
 
 from __future__ import annotations
@@ -14,28 +22,49 @@ from __future__ import annotations
 import gzip
 import zlib
 
-try:  # optional, like the reference's lazy-required codecs
-    import cramjam  # type: ignore
-
-    _HAVE_CRAMJAM = True
-except Exception:  # pragma: no cover
-    cramjam = None
-    _HAVE_CRAMJAM = False
+import pyarrow as pa
 
 UNCOMPRESSED = "UNCOMPRESSED"
 ZLIB = "ZLIB"
 GZIP = "GZIP"
 SNAPPY = "SNAPPY"
 BROTLI = "BROTLI"
+LZ4 = "LZ4"
+ZSTD = "ZSTD"
 
-_IDS = {UNCOMPRESSED: 0, ZLIB: 1, GZIP: 2, SNAPPY: 3, BROTLI: 4}
+_IDS = {UNCOMPRESSED: 0, ZLIB: 1, GZIP: 2, SNAPPY: 3, BROTLI: 4, LZ4: 5, ZSTD: 6}
 _NAMES = {v: k for k, v in _IDS.items()}
+
+# pyarrow codec name per compression (brotli at the reference's quality 8,
+# compression.js:64-70)
+_PA_CODECS: dict[str, pa.Codec] = {}
+
+
+def _pa_codec(name: str) -> pa.Codec:
+    codec = _PA_CODECS.get(name)
+    if codec is None:
+        if name == SNAPPY:
+            codec = pa.Codec("snappy")
+        elif name == BROTLI:
+            codec = pa.Codec("brotli", compression_level=8)
+        elif name == LZ4:
+            codec = pa.Codec("lz4")
+        elif name == ZSTD:
+            codec = pa.Codec("zstd")
+        else:
+            raise ValueError(f"unsupported compression: {name}")
+        _PA_CODECS[name] = codec
+    return codec
 
 
 def available() -> list[str]:
     out = [UNCOMPRESSED, ZLIB, GZIP]
-    if _HAVE_CRAMJAM:
-        out += [SNAPPY, BROTLI]
+    for name in (SNAPPY, BROTLI, LZ4, ZSTD):
+        try:
+            _pa_codec(name)
+            out.append(name)
+        except Exception:  # pragma: no cover - codec not compiled in
+            pass
     return out
 
 
@@ -46,12 +75,8 @@ def compress(name: str, data: bytes) -> bytes:
         return zlib.compress(data, 6)
     if name == GZIP:
         return gzip.compress(data, 6)
-    if name == SNAPPY and _HAVE_CRAMJAM:
-        return bytes(cramjam.snappy.compress_raw(data))
-    if name == BROTLI and _HAVE_CRAMJAM:
-        # reference settings: quality 8, lgwin 22 (compression.js:64-70)
-        return bytes(cramjam.brotli.compress(data, level=8))
-    raise ValueError(f"unsupported compression: {name}")
+    body = _pa_codec(name).compress(data, asbytes=True)
+    return len(data).to_bytes(8, "little") + body
 
 
 def decompress(name: str, data: bytes) -> bytes:
@@ -61,11 +86,8 @@ def decompress(name: str, data: bytes) -> bytes:
         return zlib.decompress(data)
     if name == GZIP:
         return gzip.decompress(data)
-    if name == SNAPPY and _HAVE_CRAMJAM:
-        return bytes(cramjam.snappy.decompress_raw(data))
-    if name == BROTLI and _HAVE_CRAMJAM:
-        return bytes(cramjam.brotli.decompress(data))
-    raise ValueError(f"unsupported compression: {name}")
+    raw_len = int.from_bytes(data[:8], "little")
+    return _pa_codec(name).decompress(data[8:], raw_len, asbytes=True)
 
 
 def comp_id(name: str) -> int:

@@ -139,9 +139,17 @@ def test_compression_auto_zlib_on_plain_text():
 
 
 def test_forced_compression_roundtrip():
-    s = pd.Series(["abc"] * 100)
-    for comp_name in ("UNCOMPRESSED", "ZLIB", "GZIP"):
-        blob, _ = chunk.encode_chunk(s, "string", codec=PLAIN, compression=comp_name)
+    """Compression matrix — reference parity is roundtrip x compression
+    (/root/reference/test/integration.js:290-356); SNAPPY/BROTLI via
+    pyarrow's bundled codecs, LZ4/ZSTD beyond the reference."""
+    from parquetjs_spark.codecs import compress as comp
+
+    s = pd.Series(["abc%d" % (i % 9) for i in range(500)])
+    avail = comp.available()
+    assert {"UNCOMPRESSED", "ZLIB", "GZIP", "SNAPPY", "BROTLI"} <= set(avail)
+    for comp_name in avail:
+        blob, stats = chunk.encode_chunk(s, "string", codec=PLAIN, compression=comp_name)
+        assert stats["compression"] == comp_name
         out, _ = chunk.decode_chunk(blob)
         assert out.tolist() == s.tolist()
 
