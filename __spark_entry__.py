@@ -153,6 +153,27 @@ def _q_verify_all_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_rt_table_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-row reassembly (cursor/materializeRecords analogue,
+    /root/reference/lib/reader.js:51-67, lib/shred.js:157-245): decode
+    several lineitem columns from blobs back into one DataFrame."""
+    from parquetjs_spark import pipeline
+
+    df = _load(spark, sf_dir, "lineitem")
+    return pipeline.roundtrip_table(
+        df, ["l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"]
+    )
+
+
+def _q_rt_table_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row reassembly with nullable columns (definition levels rebuilt
+    per column, then zipped positionally)."""
+    from parquetjs_spark import pipeline
+
+    df = _load(spark, sf_dir, "events")
+    return pipeline.roundtrip_table(df, ["event_id", "event_type", "props"])
+
+
 def _q_rt_array_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repeated-field (array<float>) round-trip — Dremel L3/L4
     re-expression (rows-only: array cell hashing is comparator-specific)."""
@@ -185,6 +206,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["cardinality_dict_columns"] = _q_cardinality_dict_columns
     out["codec_choices_lineitem"] = _q_codec_choices_lineitem
     out["verify_all_lineitem"] = _q_verify_all_lineitem
+    out["rt_table_lineitem"] = _q_rt_table_lineitem
+    out["rt_table_events"] = _q_rt_table_events
     out["rt_array_embedding"] = _q_rt_array_embedding
     out["rt_array_emb_elem0"] = _q_rt_array_emb_elem0
 
@@ -223,6 +246,10 @@ def oracle_sql() -> dict[str, str]:
     )
     # codec_choices_lineitem / verify_all_lineitem / rt_array_embedding:
     # rows-only by design
+    out["rt_table_lineitem"] = (
+        "SELECT l_orderkey, l_quantity, l_returnflag, l_shipdate FROM lineitem"
+    )
+    out["rt_table_events"] = "SELECT event_id, event_type, props FROM events"
     out["rt_array_emb_elem0"] = (
         "SELECT CAST(embedding[1] AS DOUBLE) AS e0, "
         "CAST(len(embedding) AS INTEGER) AS dim FROM embeddings"

@@ -8,10 +8,10 @@ Packaging:
         --output /data/encoded --columns content,path --salt-key repo
 
 Subcommands:
-    encode   parquet table -> blob+manifest tables (resumable)
-    decode   blob table + column -> parquet of values
-    verify   blob table -> per-chunk sha256 bit-identity report
-    bench    the repo bench (same as bench.py)
+    encode        parquet table -> blob+manifest tables (resumable)
+    decode        blob table + column -> parquet of values
+    decode-table  blob table -> parquet of the original rows (cursor analogue)
+    verify        blob table -> per-chunk sha256 bit-identity report
 """
 
 from __future__ import annotations
@@ -64,6 +64,7 @@ def cmd_encode(args) -> int:
     if args.resume_from:
         # resume: drop chunks already committed in a previous run's manifest
         done = pipeline.read_manifest(spark, args.resume_from)
+        already = done.count()
         blobs = pipeline.encode_columns(df, cols, chunk_rows=args.chunk_rows)
         blobs = pipeline.pending_chunks(blobs, done)
         mode = "append"
@@ -72,11 +73,12 @@ def cmd_encode(args) -> int:
         mode = "overwrite"
     pipeline.write_encoded(blobs, args.output, mode=mode)
     if args.resume_from:
+        # the output manifest includes previously committed chunks when
+        # resuming into the same dir — report only this run's delta
         written = pipeline.read_manifest(spark, args.output).count()
-        already = pipeline.read_manifest(spark, args.resume_from).count()
         print(json.dumps({"resumed_from": args.resume_from,
                           "chunks_already_committed": already,
-                          "chunks_encoded_this_run": written}))
+                          "chunks_encoded_this_run": max(0, written - already)}))
     summary = pipeline.encode_summary(pipeline.read_encoded(spark, args.output))
     for r in summary.collect():
         print(json.dumps(r.asDict()))
@@ -91,6 +93,19 @@ def cmd_decode(args) -> int:
     out = pipeline.decode_column(blobs, args.column)
     out.write.mode("overwrite").parquet(args.output)
     print(json.dumps({"rows": spark.read.parquet(args.output).count()}))
+    return 0
+
+
+def cmd_decode_table(args) -> int:
+    from parquetjs_spark import pipeline
+
+    spark = _spark(args)
+    blobs = pipeline.read_encoded(spark, args.input)
+    cols = args.columns.split(",") if args.columns else None
+    out = pipeline.decode_table(blobs, cols)
+    out.write.mode("overwrite").parquet(args.output)
+    print(json.dumps({"rows": spark.read.parquet(args.output).count(),
+                      "columns": out.columns}))
     return 0
 
 
@@ -133,6 +148,12 @@ def main(argv: list[str] | None = None) -> int:
     pd_.add_argument("--column", required=True)
     pd_.add_argument("--output", required=True)
     pd_.set_defaults(fn=cmd_decode)
+
+    pt = sub.add_parser("decode-table")
+    pt.add_argument("--input", required=True)
+    pt.add_argument("--columns", default=None, help="comma-separated; default all")
+    pt.add_argument("--output", required=True)
+    pt.set_defaults(fn=cmd_decode_table)
 
     pv = sub.add_parser("verify")
     pv.add_argument("--input", required=True)

@@ -52,10 +52,51 @@ def q_doc_rolling_fp(spark, sf_dir):
 # --- dedup ----------------------------------------------------------------
 
 
+def _seeded_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + deterministic duplicate/near-duplicate clusters.
+
+    The raw fixture has no duplicate texts, which left the dedup operators
+    vacuously green (0 == 0).  Seed exact dups (every 10th doc repeated
+    under a new id) and near-dups (every 7th doc with one word appended)
+    so exact/MinHash/LSH paths return non-trivial rows.  The construction
+    is pure SQL, so DuckDB oracles can reproduce it."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    exact = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"), "text"
+    )
+    near = docs.where(F.col("doc_id") % 7 == 3).select(
+        (F.col("doc_id") + F.lit(20_000_000)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" appended")).alias("text"),
+    )
+    return docs.unionByName(exact).unionByName(near)
+
+
+_SEEDED_ORACLE_SRC = (
+    "(SELECT doc_id, text FROM documents "
+    "UNION ALL SELECT doc_id + 10000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0 "
+    "UNION ALL SELECT doc_id + 20000000 AS doc_id, text || ' appended' AS text "
+    "FROM documents WHERE doc_id % 7 = 3)"
+)
+
+
 def q_exact_dup_groups(spark, sf_dir):
     from . import dedup
 
     return dedup.exact_dup_groups(_docs(spark, sf_dir))
+
+
+def q_exact_dup_groups_seeded(spark, sf_dir):
+    from . import dedup
+
+    return dedup.exact_dup_groups(_seeded_docs(spark, sf_dir))
+
+
+def q_minhash_dedup_pairs_seeded(spark, sf_dir):
+    from . import dedup
+
+    return dedup.minhash_dedup_pairs(_seeded_docs(spark, sf_dir))
 
 
 def q_distinct_doc_count(spark, sf_dir):
@@ -119,20 +160,29 @@ def q_emb_lsh_topk_vec0(spark, sf_dir):
     return similarity.lsh_topk_for_id(_embs(spark, sf_dir), query_id=0, k=5)
 
 
-def q_emb_near_dup_pairs(spark, sf_dir):
+def q_emb_near_dup_topk_candidates(spark, sf_dir):
     from pyspark.sql import functions as F
 
     from . import similarity
 
-    # the synthetic embeddings contain no true near-dups (max candidate
-    # cosine ~0.36 at sf0.01), so demonstrate the full LSH-bucket-join +
-    # exact-rescore machinery via the top-scored candidate pairs rather
-    # than an empty set behind the production 0.95 cutoff
+    # DEMO query: the synthetic embeddings contain no true near-dups (max
+    # candidate cosine ~0.36 at sf0.01), so exercise the full
+    # LSH-bucket-join + exact-rescore machinery via the top-scored
+    # candidate pairs (min_score_u=0).  These are NOT duplicates — the
+    # contract-true query is emb_near_dup_pairs below.
     return (
         similarity.embedding_near_dup_pairs(_embs(spark, sf_dir), min_score_u=0)
         .orderBy(F.desc("score_u"), "vec_a", "vec_b")
         .limit(25)
     )
+
+
+def q_emb_near_dup_pairs(spark, sf_dir):
+    from . import similarity
+
+    # production cutoff (0.95): expected EMPTY on this synthetic data —
+    # the operator's real contract, kept honest alongside the demo above
+    return similarity.embedding_near_dup_pairs(_embs(spark, sf_dir))
 
 
 # --- multimodal --------------------------------------------------------------
@@ -145,9 +195,19 @@ def q_media_metadata(spark, sf_dir):
 
 
 def q_media_features(spark, sf_dir):
+    from pyspark.sql import functions as F
+
     from . import multimodal
 
-    return multimodal.fake_features(multimodal.as_media_table(_docs(spark, sf_dir)))
+    # project the float vector to hashable scalars (the driver's
+    # canonicalizer cannot hash array cells — same treatment as
+    # rt_array_emb_elem0 in __spark_entry__.py)
+    feats = multimodal.fake_features(multimodal.as_media_table(_docs(spark, sf_dir)))
+    return feats.select(
+        "doc_id",
+        F.element_at("features", 1).cast("double").alias("f0"),
+        F.size("features").alias("n_feat"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -158,6 +218,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lang_id": q_doc_lang_id,
         "doc_rolling_fp": q_doc_rolling_fp,
         "exact_dup_groups": q_exact_dup_groups,
+        "exact_dup_groups_seeded": q_exact_dup_groups_seeded,
+        "minhash_dedup_pairs_seeded": q_minhash_dedup_pairs_seeded,
         "distinct_doc_count": q_distinct_doc_count,
         "char_jaccard_adjacent": q_char_jaccard_adjacent,
         "minhash_dedup_pairs": q_minhash_dedup_pairs,
@@ -167,6 +229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_label_counts": q_emb_label_counts,
         "emb_topk_vec0": q_emb_topk_vec0,
         "emb_lsh_topk_vec0": q_emb_lsh_topk_vec0,
+        "emb_near_dup_topk_candidates": q_emb_near_dup_topk_candidates,
         "emb_near_dup_pairs": q_emb_near_dup_pairs,
         "media_metadata": q_media_metadata,
         "media_features": q_media_features,
@@ -192,6 +255,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT text, COUNT(*) AS dup_count FROM documents "
             "GROUP BY text HAVING COUNT(*) > 1"
         ),
+        "exact_dup_groups_seeded": (
+            f"SELECT text, COUNT(*) AS dup_count FROM {_SEEDED_ORACLE_SRC} "
+            "GROUP BY text HAVING COUNT(*) > 1"
+        ),
+        # minhash_dedup_pairs_seeded: custom stable hashing -> rows-only
         "distinct_doc_count": (
             "SELECT COUNT(DISTINCT text) AS distinct_docs FROM documents"
         ),

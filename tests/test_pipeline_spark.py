@@ -76,6 +76,50 @@ def test_source_code_roundtrip_sha(spark):
     assert a == b
 
 
+def test_decode_table_full_rows(spark):
+    """Cursor analogue (/root/reference/lib/reader.js:51-67): the blob
+    table reassembles into the original rows, all columns zipped."""
+    df = load_table(spark, SF, "lineitem")
+    out = pipeline.roundtrip_table(df, chunk_rows=512)
+    assert out.columns == df.columns
+    src = sorted(map(repr, df.collect()))
+    got = sorted(map(repr, out.collect()))
+    assert got == src
+
+
+def test_decode_table_projection_and_nulls(spark):
+    """Column-pruned decode; props carries nulls (definition levels)."""
+    df = load_table(spark, SF, "events")
+    blobs = pipeline.encode_columns(df, chunk_rows=256).cache()
+    try:
+        out = pipeline.decode_table(blobs, ["event_type", "props"])
+        assert out.columns == ["event_type", "props"]
+        src = sorted(map(repr, df.select("event_type", "props").collect()))
+        got = sorted(map(repr, out.collect()))
+        assert got == src
+        # full decode preserves original column order via col_idx
+        full = pipeline.decode_table(blobs)
+        assert full.columns == df.columns
+    finally:
+        blobs.unpersist()
+
+
+def test_decode_table_with_list_column(spark):
+    df = load_table(spark, SF, "embeddings")
+    out = pipeline.roundtrip_table(df, chunk_rows=200)
+    assert out.columns == df.columns
+    src = sorted(map(repr, df.collect()))
+    got = sorted(map(repr, out.collect()))
+    assert got == src
+
+
+def test_decode_table_missing_column_errors(spark):
+    df = load_table(spark, SF, "region")
+    blobs = pipeline.encode_columns(df)
+    with pytest.raises(ValueError, match="no chunks"):
+        pipeline.decode_table(blobs, ["nope"])
+
+
 def test_manifest_write_resume(tmp_path, spark):
     df = load_table(spark, SF, "region")
     blobs = pipeline.encode_columns(df)
