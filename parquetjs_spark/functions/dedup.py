@@ -33,23 +33,38 @@ def _mix64(x: np.ndarray, salt: int) -> np.ndarray:
 
 
 # NOTE: python hash() of str is salted per process -> NOT deterministic
-# across executors; shingle hashing uses a stable FNV-1a instead.
+# across executors; shingle hashing runs JVM-side as xxhash64 (stable,
+# seed-fixed) inside the array expressions below — no per-value Python
+# anywhere (BASELINE.json input_hint).
 
 
-def _fnv1a(s: str) -> int:
-    h = 0xCBF29CE484222325
-    for b in s.encode("utf-8"):
-        h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-    return h
+def _words_col():
+    """Whitespace tokens, empties dropped (Python str.split semantics)."""
+    return F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != F.lit(""))
 
 
-def _stable_shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    words = text.split()
-    if len(words) < k:
-        shingles = {" ".join(words)} if words else {""}
-    else:
-        shingles = {" ".join(words[i : i + k]) for i in range(len(words) - k + 1)}
-    return np.fromiter((_fnv1a(s) for s in shingles), dtype=np.uint64, count=len(shingles))
+def _shingle_hashes_col(k: int):
+    """array<long> of xxhash64 over distinct word-k-shingles, all JVM.
+
+    Shorter-than-k documents collapse to one shingle of all their words
+    ("" for empty/null text), so every doc has >= 1 shingle."""
+    toks = _words_col()
+    nsh = F.greatest(F.size(toks) - (k - 1), F.lit(1))
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), nsh),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        )
+    )
+    shingles = F.coalesce(shingles, F.array(F.lit("")))  # null text
+    return F.transform(shingles, lambda s: F.xxhash64(s))
+
+
+def _segment_starts(lens: np.ndarray) -> np.ndarray:
+    starts = np.zeros(len(lens), dtype=np.int64)
+    if len(lens) > 1:
+        np.cumsum(lens[:-1], out=starts[1:])
+    return starts
 
 
 # --------------------------------------------------------------------------
@@ -79,36 +94,66 @@ def minhash_signatures(
     docs: DataFrame, num_hashes: int = 64, shingle_k: int = 3
 ) -> DataFrame:
     """(doc_id, sig: array<long>) — signature j = min over shingles of
-    mix64(shingle_hash, j).  Vectorized: one (n_shingles x num_hashes)
-    NumPy broadcast per document batch."""
+    mix64(xxhash64(shingle), j).
+
+    Scale shape: shingling + base hashing is pure JVM (split/transform/
+    xxhash64 — whole-stage codegen, no shuffle); the permutation-min runs
+    as num_hashes C-level passes of mix + segmented ``minimum.reduceat``
+    over the batch's concatenated hash array.  Memory is O(total shingles
+    per batch); no per-shingle or per-doc Python anywhere."""
     schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
             T.StructField("sig", T.ArrayType(T.LongType())),
         ]
     )
+    hashed = docs.select(
+        "doc_id", _shingle_hashes_col(shingle_k).alias("shash")
+    )
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        salts = np.arange(num_hashes, dtype=np.uint64)
+        salts = np.arange(num_hashes, dtype=np.uint64) * np.uint64(0x9E3779B9)
         for pdf in batches:
-            sigs = []
-            for t in pdf["text"]:
-                sh = _stable_shingle_hashes(t or "", shingle_k)
-                # broadcast mix: (n_shingles, num_hashes)
-                mixed = _mix64(sh[:, None] + salts[None, :] * np.uint64(0x9E3779B9), 7)
-                sigs.append(mixed.min(axis=0).view(np.int64).tolist())
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "sig": sigs})
+            arrs = pdf["shash"].to_numpy()
+            ndocs = len(arrs)
+            if ndocs == 0:
+                yield pd.DataFrame({"doc_id": pdf["doc_id"], "sig": []})
+                continue
+            lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=ndocs)
+            all_u = np.concatenate(arrs).astype(np.int64).view(np.uint64)
+            starts = _segment_starts(lens)  # every doc has >= 1 shingle
+            sig = np.empty((ndocs, num_hashes), dtype=np.uint64)
+            for j in range(num_hashes):  # fixed 64 C passes, O(total) memory
+                sig[:, j] = np.minimum.reduceat(_mix64(all_u + salts[j], 7), starts)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "sig": list(sig.view(np.int64))}
+            )
 
-    return docs.select("doc_id", "text").mapInPandas(fn, schema=schema)
+    return hashed.mapInPandas(fn, schema=schema)
 
 
 def lsh_candidate_pairs(
-    sig_df: DataFrame, bands: int = 16, rows_per_band: int = 4
+    sig_df: DataFrame,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    max_bucket_size: int = 256,
 ) -> DataFrame:
     """Band the signatures, bucket-join within (band, bucket_hash).
 
     The self-join key (band, bucket) is high-entropy, so the shuffle is
-    uniform; at cluster scale this is the standard LSH plan."""
+    uniform; at cluster scale this is the standard LSH plan.
+
+    LSH hygiene: a degenerate bucket of m docs (boilerplate / empty
+    texts hashing identically) would emit m^2 candidate rows, so buckets
+    above ``max_bucket_size`` are dropped.  Members of an oversized
+    bucket are near-identical by construction — the exact-dup hash pass
+    is the right operator for them, not pairwise LSH.
+
+    Plan shape: ONE shuffle (groupBy band+bucket over 24-byte rows),
+    then pairs are generated bucket-locally as an array expression — no
+    self-join, no window, and the size filter enforces the cap before
+    any pair materializes.  Per-bucket pair arrays are bounded by
+    max_bucket_size^2 elements."""
     banded = sig_df.select(
         "doc_id",
         F.posexplode(
@@ -120,18 +165,24 @@ def lsh_candidate_pairs(
             )
         ).alias("band", "bucket"),
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
+    grouped = (
+        banded.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .where((F.size("ids") >= 2) & (F.size("ids") <= max_bucket_size))
+    )
+    ids = F.col("ids")
+    pairs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        grouped.select(F.explode(pairs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 
@@ -169,36 +220,50 @@ def minhash_dedup_pairs(
 
 
 def simhash_fingerprints(docs: DataFrame) -> DataFrame:
-    """64-bit SimHash over word-level features (vectorized sign-sum)."""
+    """64-bit SimHash over word-level features.
+
+    Word hashing is JVM xxhash64 (codegen); the bit-vote runs as 64
+    C-level passes of shift-mask + segmented ``add.reduceat`` — memory
+    O(total words per batch), no per-word Python."""
     schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
             T.StructField("simhash", T.LongType()),
         ]
     )
+    hashed = docs.select(
+        "doc_id",
+        F.coalesce(
+            F.transform(_words_col(), lambda w: F.xxhash64(w)),
+            F.array().cast("array<long>"),
+        ).alias("whash"),
+    )
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        bit_idx = np.arange(64, dtype=np.uint64)
         for pdf in batches:
-            out = []
-            for t in pdf["text"]:
-                words = (t or "").split()
-                if not words:
-                    out.append(0)
-                    continue
-                hs = np.fromiter(
-                    (_fnv1a(w) for w in words), dtype=np.uint64, count=len(words)
-                )
-                bits = (hs[:, None] >> bit_idx[None, :]) & np.uint64(1)
-                votes = bits.sum(axis=0) * 2 > len(words)
-                fp = np.uint64(0)
-                fp = np.bitwise_or.reduce(
-                    votes.astype(np.uint64) << bit_idx
-                )
-                out.append(int(fp.view(np.int64)))
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": out})
+            arrs = pdf["whash"].to_numpy()
+            ndocs = len(arrs)
+            fp = np.zeros(ndocs, dtype=np.uint64)
+            if ndocs:
+                lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=ndocs)
+                nz = np.flatnonzero(lens)  # empty docs keep fp 0
+                if nz.size:
+                    lens_nz = lens[nz]
+                    all_u = np.concatenate(
+                        [arrs[i] for i in nz]
+                    ).astype(np.int64).view(np.uint64)
+                    starts = _segment_starts(lens_nz)
+                    fp_nz = np.zeros(nz.size, dtype=np.uint64)
+                    for b in range(64):  # fixed 64 C passes
+                        bit = (all_u >> np.uint64(b)) & np.uint64(1)
+                        votes = np.add.reduceat(bit, starts)
+                        fp_nz |= (votes * 2 > lens_nz).astype(np.uint64) << np.uint64(b)
+                    fp[nz] = fp_nz
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "simhash": fp.view(np.int64)}
+            )
 
-    return docs.select("doc_id", "text").mapInPandas(fn, schema=schema)
+    return hashed.mapInPandas(fn, schema=schema)
 
 
 # --------------------------------------------------------------------------

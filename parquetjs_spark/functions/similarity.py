@@ -129,15 +129,38 @@ def lsh_topk_for_id(
 
 
 def embedding_near_dup_pairs(
-    embeddings: DataFrame, n_planes: int = 12, min_score_u: int = 950_000
+    embeddings: DataFrame,
+    n_planes: int = 12,
+    min_score_u: int = 950_000,
+    max_bucket_size: int = 4096,
 ) -> DataFrame:
     """Embedding-cosine near-dup detection: LSH bucket self-join then
-    exact cosine filter (integer-scaled score)."""
+    exact cosine filter (integer-scaled score).
+
+    Buckets above ``max_bucket_size`` are dropped (LSH hygiene: a
+    degenerate bucket — e.g. zero vectors — would emit m^2 candidates);
+    candidates are generated bucket-locally from one groupBy, same
+    single-shuffle plan shape as dedup.lsh_candidate_pairs."""
     sigs = lsh_signatures(embeddings, n_planes)
-    a = sigs.select(F.col("vec_id").alias("vec_a"), "bucket")
-    b = sigs.select(F.col("vec_id").alias("vec_b"), "bucket")
-    cands = a.join(b, "bucket").where(F.col("vec_a") < F.col("vec_b")).select(
-        "vec_a", "vec_b"
+    grouped = (
+        sigs.groupBy("bucket")
+        .agg(F.array_sort(F.collect_list("vec_id")).alias("ids"))
+        .where((F.size("ids") >= 2) & (F.size("ids") <= max_bucket_size))
+    )
+    ids = F.col("ids")
+    pair_arr = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("vec_a"), y.alias("vec_b")),
+            ),
+        )
+    )
+    cands = (
+        grouped.select(F.explode(pair_arr).alias("p"))
+        .select("p.vec_a", "p.vec_b")
+        .distinct()
     )
     ea = embeddings.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
     eb = embeddings.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))

@@ -1,0 +1,114 @@
+"""Training-data operator tests: dedup (MinHash/LSH/SimHash), bucket-cap
+hygiene, similarity, multimodal plumbing.
+
+The dedup operators have no reference analogue (parquetjs is an
+encode/decode engine); these tests pin the operator contracts the
+driver checks rows-only."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from parquetjs_spark.functions import dedup, similarity
+
+
+def _docs_df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_minhash_identical_docs_agree_fully(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    df = _docs_df(spark, [base, base, "something entirely different here now"])
+    sigs = {r["doc_id"]: r["sig"] for r in dedup.minhash_signatures(df).collect()}
+    assert sigs[0] == sigs[1]
+    assert sigs[0] != sigs[2]
+    assert len(sigs[0]) == 64
+
+
+def test_minhash_near_dup_high_agreement(spark):
+    words = ["w%d" % i for i in range(200)]
+    a = " ".join(words)
+    b = " ".join(words + ["extra"])  # one appended word
+    df = _docs_df(spark, [a, b])
+    sigs = {r["doc_id"]: np.array(r["sig"]) for r in
+            dedup.minhash_signatures(df).collect()}
+    agree = int((sigs[0] == sigs[1]).sum())
+    assert agree >= 48  # jaccard ~0.99 -> most of 64 mins agree
+
+
+def test_minhash_deterministic_across_partitioning(spark):
+    texts = ["doc %d body %s" % (i, "x " * (i % 7)) for i in range(40)]
+    df1 = _docs_df(spark, texts).repartition(1)
+    df2 = _docs_df(spark, texts).repartition(7)
+    s1 = sorted(map(repr, dedup.minhash_signatures(df1).collect()))
+    s2 = sorted(map(repr, dedup.minhash_signatures(df2).collect()))
+    assert s1 == s2
+
+
+def test_minhash_empty_and_null_text(spark):
+    df = spark.createDataFrame(
+        [(0, ""), (1, None), (2, "one"), (3, "   ")], "doc_id long, text string"
+    )
+    rows = dedup.minhash_signatures(df).collect()
+    assert len(rows) == 4
+    sigs = {r["doc_id"]: r["sig"] for r in rows}
+    assert sigs[0] == sigs[1] == sigs[3]  # all collapse to the "" shingle
+
+
+def test_minhash_pipeline_finds_dups_and_near_dups(spark):
+    words = ["tok%d" % i for i in range(120)]
+    base = " ".join(words)
+    texts = [base, base, base + " tail", "completely different words here entirely"]
+    df = _docs_df(spark, texts)
+    pairs = {(r["doc_a"], r["doc_b"]) for r in
+             dedup.minhash_dedup_pairs(df, threshold=0.7).collect()}
+    assert (0, 1) in pairs
+    assert (0, 2) in pairs and (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
+
+
+def test_lsh_bucket_cap_bounds_pathological_bucket(spark):
+    """All-identical docs land in one bucket per band; the cap must keep
+    the self-join from going quadratic (m^2 candidate rows)."""
+    df = _docs_df(spark, ["same text every time"] * 60)
+    sigs = dedup.minhash_signatures(df)
+    capped = dedup.lsh_candidate_pairs(sigs, max_bucket_size=16)
+    assert capped.count() == 0  # oversized bucket skipped entirely
+    uncapped = dedup.lsh_candidate_pairs(sigs, max_bucket_size=100)
+    assert uncapped.count() == 60 * 59 // 2  # sanity: cap was the limiter
+
+
+def test_simhash_identical_and_near(spark):
+    words = ["alpha%d" % i for i in range(100)]
+    a = " ".join(words)
+    b = " ".join(words[:-1] + ["changed"])
+    df = _docs_df(spark, [a, a, b, "", None])
+    fp = {r["doc_id"]: r["simhash"] for r in
+          dedup.simhash_fingerprints(df).collect()}
+    assert fp[0] == fp[1]
+    hamming = bin((fp[0] ^ fp[2]) & ((1 << 64) - 1)).count("1")
+    assert hamming <= 16  # one word changed out of 100
+    assert fp[3] == 0 and fp[4] == 0
+
+
+def test_no_per_value_python_hash_left():
+    """The north rule bans per-row Python in hot paths; the old _fnv1a
+    byte loop must stay gone."""
+    import inspect
+
+    src = inspect.getsource(dedup)
+    assert "_fnv1a" not in src
+    assert "for b in s.encode" not in src
+
+
+def test_embedding_near_dup_cap(spark):
+    rows = [(i, [1.0, 0.0, 0.0, 0.0], 0) for i in range(50)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    capped = similarity.embedding_near_dup_pairs(df, max_bucket_size=10)
+    assert capped.count() == 0
+    full = similarity.embedding_near_dup_pairs(df, max_bucket_size=4096)
+    assert full.count() == 50 * 49 // 2  # identical vectors: all pairs score 1.0
