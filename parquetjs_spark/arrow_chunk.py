@@ -47,6 +47,7 @@ from .codecs import (
     fsst,
     plain,
     rle,
+    strstream,
 )
 from .codecs.util import bit_width
 
@@ -130,29 +131,14 @@ def _plain_stream(block: StrBlock) -> bytes:
     return out.tobytes()
 
 
-def _plain_stream_decode(buf: memoryview, n: int) -> StrBlock:
-    """Inverse of _plain_stream, vectorized: the length prefixes are
-    recovered with a bounded scan, then one masked gather extracts the
-    payload."""
-    b = bytes(buf)
-    lens = np.empty(n, dtype=np.int64)
-    pos = 0
-    ifb = int.from_bytes
-    for i in range(n):  # data-dependent offsets: sequential, but O(n) ints
-        ln = ifb(b[pos : pos + 4], "little")
-        lens[i] = ln
-        pos += 4 + ln
-    total = len(b)
-    arr = np.frombuffer(b, dtype=np.uint8, count=total)
-    starts = np.zeros(n, dtype=np.int64)
-    if n:
-        starts[1:] = np.cumsum(lens[:-1] + 4)
-    idx = starts[:, None] + np.arange(4)
-    mask = np.ones(total, dtype=bool)
-    mask[idx.reshape(-1)] = False
-    data = arr[mask].tobytes()
-    offsets = np.zeros(n + 1, dtype=np.int64)
-    np.cumsum(lens, out=offsets[1:])
+def _str_stream(block: StrBlock) -> bytes:
+    """PLAIN string/binary wire v2 (codecs/strstream): FOR-packed lengths
+    + concatenated payload — both encode and decode fully vectorized."""
+    return strstream.encode_lens_payload(block.lens, block.concat_bytes())
+
+
+def _str_stream_decode(buf: memoryview, n: int) -> StrBlock:
+    offsets, data = strstream.decode_lens_payload(buf, n)
     return StrBlock(data, offsets)
 
 
@@ -168,7 +154,7 @@ def _encode_dict_block(block: StrBlock) -> bytes:
     denc = pc.dictionary_encode(arr)
     codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.uint64)
     uniq = _strblock_from_pa(denc.dictionary)
-    dict_page = _plain_stream(uniq)
+    dict_page = _str_stream(uniq)
     n_dict = uniq.n
     width = bit_width(max(0, n_dict - 1))
     idx_rle = rle.encode(codes, width, disable_envelope=True)
@@ -184,7 +170,7 @@ def _encode_dict_block(block: StrBlock) -> bytes:
 def _decode_dict_block(buf: memoryview, n: int) -> StrBlock:
     n_dict = int.from_bytes(bytes(buf[0:4]), "little")
     dict_len = int.from_bytes(bytes(buf[4:8]), "little")
-    uniq = _plain_stream_decode(buf[8 : 8 + dict_len], n_dict)
+    uniq = _str_stream_decode(buf[8 : 8 + dict_len], n_dict)
     width = buf[8 + dict_len]
     idx = rle.decode(buf[9 + dict_len :], n, width, disable_envelope=True).astype(
         np.int64
@@ -266,12 +252,17 @@ def _select_string_codec(block: StrBlock, fsst_state: dict | None) -> tuple[str,
     card = len(denc.dictionary)
     codes = denc.indices.to_numpy(zero_copy_only=False)
     runs = 1 + int(np.count_nonzero(np.diff(codes))) if len(codes) else 0
-    dict_bytes = _strblock_from_pa(denc.dictionary).total + 4 * card
+    dict_bytes = _strblock_from_pa(denc.dictionary).total + card
     width = bit_width(max(0, card - 1))
-    est_idx = min((len(codes) * width + 7) // 8 + 2 * runs, 10 * runs + 2)
+    # same RLE-hybrid estimate as dictionary.stats: better of bit-packed
+    # groups vs repeated runs
+    est_idx = min(
+        (len(codes) * width + 7) // 8 + 2 * (len(codes) // 504 + 1),
+        runs * (2 + (width + 7) // 8),
+    ) + 2
     scale = n / sample.n
     cands = {
-        PLAIN: total + 4 * n,
+        PLAIN: total + n,
         DICT_RLE: int((9 + dict_bytes + est_idx) * scale),
     }
     # Evaluate FSST unless dictionary is *clearly* winning: low sample
@@ -289,7 +280,7 @@ def _select_string_codec(block: StrBlock, fsst_state: dict | None) -> tuple[str,
             plain_z = len(zlib.compress(concat, 6)) / len(concat)
             payload = fsst.compress(concat, table)
             fsst_z = min(len(payload), len(zlib.compress(payload, 6))) / len(concat)
-            cands[PLAIN] = int(plain_z * total) + 4 * n
+            cands[PLAIN] = int(plain_z * total) + n
             cands[FSST] = int(fsst_z * total) + 2 * len(table) + n + 16
             if cands[FSST] > 0.9 * cands[PLAIN]:
                 cands.pop(FSST)
@@ -451,7 +442,7 @@ def _encode_list_column(
         if codec == "auto":
             codec, sel_info = _select_string_codec(elem_values, fsst_state)
         if codec == PLAIN:
-            elem_raw = _plain_stream(elem_values)
+            elem_raw = _str_stream(elem_values)
         elif codec == DICT_RLE:
             elem_raw = _encode_dict_block(elem_values)
         elif codec == FSST:
@@ -483,7 +474,7 @@ def _decode_list_column(
     elem_dtype = dtype[len("list_") :]
     if elem_dtype == "string":
         if codec == PLAIN:
-            elems = _plain_stream_decode(elem_mv, n_elems)
+            elems = _str_stream_decode(elem_mv, n_elems)
         elif codec == DICT_RLE:
             elems = _decode_dict_block(elem_mv, n_elems)
         elif codec == FSST:
@@ -533,7 +524,7 @@ def encode_arrow_column(
         if codec == "auto":
             codec, sel_info = _select_string_codec(values, fsst_state)
         if codec == PLAIN:
-            values_raw = _plain_stream(values)
+            values_raw = _str_stream(values)
         elif codec == DICT_RLE:
             values_raw = _encode_dict_block(values)
         elif codec == FSST:
@@ -625,7 +616,7 @@ def decode_arrow_column(blob: bytes | memoryview) -> tuple[pa.Array, str]:
         return _decode_list_column(values_raw, nn, dtype, codec, valid), dtype
     if dtype in ("string", "binary"):
         if codec == PLAIN:
-            block = _plain_stream_decode(memoryview(values_raw), nn)
+            block = _str_stream_decode(memoryview(values_raw), nn)
         elif codec == DICT_RLE:
             block = _decode_dict_block(memoryview(values_raw), nn)
         elif codec == FSST:

@@ -46,6 +46,7 @@ from .codecs import (
     fsst,
     plain,
     rle,
+    strstream,
 )
 from .codecs.util import bit_width
 
@@ -271,7 +272,7 @@ def _encode_values(vals, dtype: str, codec: str, fsst_table=None, fsst_state=Non
         raise ValueError(f"codec {codec} unsupported for {dtype}")
     # string / binary
     if codec == PLAIN:
-        return plain.encode_byte_array(vals)
+        return strstream.encode_byte_arrays(vals)
     if codec == DICT_RLE:
         return dictionary.encode(vals, "BYTE_ARRAY")
     if codec == FSST:
@@ -289,7 +290,7 @@ def _decode_values(buf: memoryview, n: int, dtype: str, codec: str):
             return dictionary.decode(buf, n, _PTYPE[dtype])
         raise ValueError(f"codec {codec} unsupported for {dtype}")
     if codec == PLAIN:
-        return plain.decode_byte_array(buf, n)
+        return strstream.decode_byte_arrays(buf, n)
     if codec == DICT_RLE:
         return list(dictionary.decode(buf, n, "BYTE_ARRAY"))
     if codec == FSST:
@@ -316,24 +317,55 @@ def select_codec(vals, dtype: str, fsst_state: dict | None = None) -> tuple[str,
     if n == 0:
         return PLAIN, info
     if dtype in ("float64", "float32", "int64", "int32", "date", "timestamp_us"):
+        # decision cache: same policy as the string path below — numeric
+        # chunks of one column within a task are near-i.i.d., so the
+        # measured selection below amortizes to ~0
+        if fsst_state is not None and "sel" in fsst_state:
+            if fsst_state.get("sel_uses", 0) < SEL_CACHE_USES:
+                fsst_state["sel_uses"] = fsst_state.get("sel_uses", 0) + 1
+                return fsst_state["sel"], {"cached": True}
+            del fsst_state["sel"]
         arr = np.asarray(vals)
         sample = arr[:SAMPLE_VALUES]
         ds = dictionary.stats(sample, _PTYPE[dtype])
         scale = n / len(sample)
         width = arr.dtype.itemsize
-        cands = {
-            PLAIN: n * width,
-            DICT_RLE: int(ds["est_size"] * scale),
+        raw_cands = {
+            PLAIN: len(sample) * width,
+            DICT_RLE: int(ds["est_size"]),
         }
+        rle_ok = False
         if dtype != "float64" and dtype != "float32":
             vmin, vmax = int(arr.min()), int(arr.max())
-            cands[FOR_BITPACK] = for_bp.estimated_size(n, vmin, vmax)
-            if vmin >= 0 and bit_width(vmax) <= 32:
-                # RLE only pays off with long runs
-                runs = ds["runs"] * scale
-                cands[RLE] = int(runs * (2 + (bit_width(vmax) + 7) // 8)) + 1
+            raw_cands[FOR_BITPACK] = for_bp.estimated_size(len(sample), vmin, vmax)
+            rle_ok = vmin >= 0 and bit_width(vmax) <= 32
+            if rle_ok:
+                runs = ds["runs"]
+                raw_cands[RLE] = int(runs * (2 + (bit_width(vmax) + 7) // 8)) + 1
+        # The analytic sizes rank pre-compression, but blocks get zlib'd
+        # afterwards and codecs respond to it very differently (PLAIN on
+        # zipf ints often beats DICT post-zlib).  Measure post-zlib on the
+        # sample for every candidate within 3x of the analytic best; the
+        # decision cache bounds the cost to ~1 measurement per 16 chunks.
+        best_raw = min(raw_cands.values())
+        cands: dict[str, int] = {}
+        for c, est in raw_cands.items():
+            if est > 3 * best_raw + 64:
+                cands[c] = int(est * scale)
+                continue
+            try:
+                enc = _encode_int_values(sample, dtype, c) if dtype in _INT_LIKE \
+                    else _encode_values(sample, dtype, c)
+            except ValueError:
+                continue
+            z = zlib.compress(enc, 6)
+            cands[c] = int(min(len(enc), len(z) + 16) * scale)
         info.update(cardinality=ds["cardinality"], runs=ds["runs"], sizes=cands)
-        return min(cands, key=cands.get), info
+        choice = min(cands, key=cands.get)
+        if fsst_state is not None:
+            fsst_state["sel"] = choice
+            fsst_state["sel_uses"] = 0
+        return choice, info
     if dtype == "bool":
         return PLAIN, info
     # strings / binary: measure on a byte sample
@@ -348,7 +380,7 @@ def select_codec(vals, dtype: str, fsst_state: dict | None = None) -> tuple[str,
     sample_vals = vals[: max(1, min(n, SAMPLE_VALUES))]
     ds = dictionary.stats(sample_vals, "BYTE_ARRAY")
     scale = n / len(sample_vals)
-    cands = {PLAIN: total + 4 * n, DICT_RLE: int(ds["est_size"] * scale)}
+    cands = {PLAIN: total + n, DICT_RLE: int(ds["est_size"] * scale)}
     # FSST candidacy measured on a bounded sample (SURVEY.md §7.3).
     # Candidate sizes are estimated POST block-compression — comparing raw
     # encodings would make FSST look dominant even where zlib-on-PLAIN
@@ -369,7 +401,7 @@ def select_codec(vals, dtype: str, fsst_state: dict | None = None) -> tuple[str,
             fsst_z = min(
                 len(fsst_payload), len(zlib.compress(fsst_payload, 6))
             ) / len(concat)
-            cands[PLAIN] = int(plain_z * total) + 4 * n
+            cands[PLAIN] = int(plain_z * total) + n
             cands[FSST] = int(fsst_z * total) + 2 * len(table) + n + 16
             info["fsst_ratio"] = round(fsst_z, 4)
             info["plain_zlib_ratio"] = round(plain_z, 4)

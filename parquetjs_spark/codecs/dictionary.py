@@ -11,9 +11,9 @@ spec semantics carried in that file:
 Wire format:
   u32 LE  n_dict          (number of dictionary entries)
   u32 LE  len(dict_page)
-  dict_page               PLAIN-encoded uniques (byte arrays: 4-byte LE
-                          length prefix each; numerics: LE fixed width —
-                          /root/reference/lib/codec/plain.js formats)
+  dict_page               encoded uniques (byte arrays: strstream v2,
+                          FOR-packed lengths + payload; numerics: LE
+                          fixed width, lib/codec/plain.js formats)
   u8      bit width       (RLE_DICTIONARY's one-byte bit-width prefix)
   rle     indices         RLE/bit-pack hybrid, no envelope
 
@@ -26,7 +26,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from . import plain, rle
+from . import plain, rle, strstream
 from .util import bit_width
 
 
@@ -36,7 +36,7 @@ def encode(values, ptype: str) -> bytes:
         arr = np.empty(len(values), dtype=object)
         arr[:] = values
         codes, uniques = pd.factorize(arr, use_na_sentinel=False)
-        dict_page = plain.encode_byte_array(list(uniques))
+        dict_page = strstream.encode_byte_arrays(list(uniques))
     else:
         codes, uniques = pd.factorize(np.asarray(values), use_na_sentinel=False)
         dict_page = plain.encode_numeric(ptype, np.asarray(uniques))
@@ -60,7 +60,7 @@ def decode(buf: bytes | memoryview, count: int, ptype: str):
     width = mv[8 + dict_len]
     idx = rle.decode(mv[9 + dict_len :], count, width, disable_envelope=True)
     if ptype == "BYTE_ARRAY":
-        uniques = plain.decode_byte_array(dict_page, n_dict)
+        uniques = strstream.decode_byte_arrays(dict_page, n_dict)
         arr = np.empty(n_dict, dtype=object)
         arr[:] = uniques
         return arr[idx.astype(np.int64)]
@@ -74,7 +74,7 @@ def stats(values, ptype: str) -> dict:
         arr = np.empty(len(values), dtype=object)
         arr[:] = values
         codes, uniques = pd.factorize(arr, use_na_sentinel=False)
-        dict_bytes = sum(4 + len(u) for u in uniques)
+        dict_bytes = sum(1 + len(u) for u in uniques)
     else:
         v = np.asarray(values)
         codes, uniques = pd.factorize(v, use_na_sentinel=False)
@@ -82,8 +82,12 @@ def stats(values, ptype: str) -> dict:
     n = len(codes)
     runs = 1 + int(np.count_nonzero(np.diff(codes))) if n else 0
     width = bit_width(max(0, len(uniques) - 1))
-    # RLE size bound: ideal mix of repeated and literal runs
-    est_idx = min((n * width + 7) // 8 + 2 * runs, 10 * runs + 2)
+    # RLE hybrid size estimate, better of its two run kinds: bit-packed
+    # groups (one varint header per <=504 values) for alternating data,
+    # repeated runs (header + value) for runny data
+    bitpack = (n * width + 7) // 8 + 2 * (n // 504 + 1)
+    repeat = runs * (2 + (width + 7) // 8)
+    est_idx = min(bitpack, repeat) + 2
     return {
         "cardinality": len(uniques),
         "runs": runs,

@@ -28,8 +28,9 @@ def test_dict_int64_roundtrip():
 def test_dict_single_value():
     vals = [b"x"] * 1000
     buf = dictionary.encode(vals, "BYTE_ARRAY")
-    # 1 entry -> bit width 0 -> indices nearly free
-    assert len(buf) < 20
+    # 1 entry -> bit width 0 -> indices nearly free (the dict page pays
+    # the strstream-v2 FOR lengths envelope, ~10 bytes fixed)
+    assert len(buf) < 32
     assert list(dictionary.decode(buf, 1000, "BYTE_ARRAY")) == vals
 
 
