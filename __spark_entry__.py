@@ -174,6 +174,27 @@ def _q_rt_table_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.roundtrip_table(df, ["event_id", "event_type", "props"])
 
 
+def _q_rt_struct_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-group round-trip (reference lib/schema.js:102-120): pack
+    lineitem fields into a struct, encode (struct shreds into dotted
+    leaf chunks + @def validity), decode_table, project back to scalars
+    so the oracle can hash the values."""
+    from pyspark.sql import functions as F
+
+    from parquetjs_spark import pipeline
+
+    df = _load(spark, sf_dir, "lineitem").select(
+        F.struct(
+            F.col("l_orderkey").alias("ok"), F.col("l_quantity").alias("qty")
+        ).alias("s"),
+        "l_returnflag",
+    )
+    out = pipeline.roundtrip_table(df)
+    return out.select(
+        F.col("s.ok").alias("ok"), F.col("s.qty").alias("qty"), "l_returnflag"
+    )
+
+
 def _q_rt_array_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repeated-field (array<float>) round-trip — Dremel L3/L4
     re-expression (rows-only: array cell hashing is comparator-specific)."""
@@ -208,6 +229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["verify_all_lineitem"] = _q_verify_all_lineitem
     out["rt_table_lineitem"] = _q_rt_table_lineitem
     out["rt_table_events"] = _q_rt_table_events
+    out["rt_struct_lineitem"] = _q_rt_struct_lineitem
     out["rt_array_embedding"] = _q_rt_array_embedding
     out["rt_array_emb_elem0"] = _q_rt_array_emb_elem0
 
@@ -250,6 +272,9 @@ def oracle_sql() -> dict[str, str]:
         "SELECT l_orderkey, l_quantity, l_returnflag, l_shipdate FROM lineitem"
     )
     out["rt_table_events"] = "SELECT event_id, event_type, props FROM events"
+    out["rt_struct_lineitem"] = (
+        "SELECT l_orderkey AS ok, l_quantity AS qty, l_returnflag FROM lineitem"
+    )
     out["rt_array_emb_elem0"] = (
         "SELECT CAST(embedding[1] AS DOUBLE) AS e0, "
         "CAST(len(embedding) AS INTEGER) AS dim FROM embeddings"

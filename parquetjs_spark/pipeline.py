@@ -75,6 +75,11 @@ def logical_dtype(spark_type: T.DataType) -> str:
         # string column — the value type is vacuous
         return "string"
     if isinstance(spark_type, T.ArrayType):
+        if isinstance(spark_type.elementType, T.StructType):
+            raise ValueError(
+                "array<struct> (repeated groups, rLevelMax>1) is not "
+                "supported; flatten to parallel arrays upstream"
+            )
         elem = logical_dtype(spark_type.elementType)
         if elem not in _LIST_ELEMS:
             raise ValueError(f"unsupported array element type: {elem}")
@@ -83,6 +88,134 @@ def logical_dtype(spark_type: T.DataType) -> str:
         if isinstance(spark_type, cls):
             return name
     raise ValueError(f"unsupported Spark type: {spark_type}")
+
+
+# --------------------------------------------------------------------------
+# nested groups (struct columns): Dremel shredding, degenerate form
+# --------------------------------------------------------------------------
+#
+# The reference supports arbitrarily nested groups
+# (/root/reference/lib/schema.js:102-120; shred recursion
+# /root/reference/lib/shred.js:75-135).  Our engine shreds a StructType
+# column into one chunked leaf per primitive path ("s.a.b") plus one
+# synthetic bool leaf per struct node ("s@def", true = group present) —
+# the struct-level slice of the definition levels.  Leaves under a null
+# group encode null; decode_table rebuilds the StructArray from the
+# leaves and the @def mask.  "." and "@def" are therefore reserved in
+# encoded column names (they would break Spark field access anyway).
+
+STRUCT_DEF_SUFFIX = "@def"
+
+
+def _flatten_exprs(path: str, col, dt: T.DataType, out: list) -> None:
+    if isinstance(dt, T.StructType):
+        out.append((path + STRUCT_DEF_SUFFIX, col.isNotNull(), "bool"))
+        for f in dt.fields:
+            _flatten_exprs(f"{path}.{f.name}", col.getField(f.name), f.dataType, out)
+    else:
+        out.append((path, col, logical_dtype(dt)))
+
+
+def flatten_struct_columns(df: DataFrame, cols: list[str]):
+    """-> (flat_df, flat_cols, dtypes, pretty).
+
+    ``flat_cols`` are opaque Spark-safe aliases ("_c0"...) because dotted
+    names break column resolution inside Spark's own mapInArrow plumbing;
+    ``pretty`` maps them to the dotted chunk names recorded in the
+    manifest.  No-op (same df, identity mapping) when no column is a
+    struct."""
+    if not any(isinstance(df.schema[c].dataType, T.StructType) for c in cols):
+        return (
+            df,
+            list(cols),
+            {c: logical_dtype(df.schema[c].dataType) for c in cols},
+            {c: c for c in cols},
+        )
+    exprs: list = []
+    for c in cols:
+        _flatten_exprs(c, F.col(f"`{c}`"), df.schema[c].dataType, exprs)
+    safe = [f"_c{i}" for i in range(len(exprs))]
+    flat_df = df.select(
+        *[col.alias(s) for s, (_, col, _) in zip(safe, exprs)]
+    )
+    dtypes = {s: dt for s, (_, _, dt) in zip(safe, exprs)}
+    pretty = {s: name for s, (name, _, _) in zip(safe, exprs)}
+    return flat_df, safe, dtypes, pretty
+
+
+def _unflatten_tree(ordered: list[tuple[str, str]]):
+    """Group flat chunk names (ordered by col_idx) back into nested nodes.
+
+    Returns list of (out_name, node); node is ("leaf", flat_name, dtype)
+    or ("struct", def_name, [(field_name, node), ...])."""
+    roots: list[tuple[str, dict]] = []
+    by_name: dict[str, dict] = {}
+
+    def get_node(path: str) -> dict:
+        node = by_name.get(path)
+        if node is None:
+            node = {"children": [], "def": None, "dtype": None}
+            by_name[path] = node
+            if "." in path:
+                parent, field = path.rsplit(".", 1)
+                get_node(parent)["children"].append((field, node))
+            else:
+                roots.append((path, node))
+        return node
+
+    for name, dtype in ordered:
+        if name.endswith(STRUCT_DEF_SUFFIX):
+            get_node(name[: -len(STRUCT_DEF_SUFFIX)])["def"] = name
+        else:
+            get_node(name)["dtype"] = dtype
+
+    def finish(path: str, node: dict):
+        if node["children"]:
+            return (
+                "struct",
+                node["def"],
+                [(f, finish(f"{path}.{f}", ch)) for f, ch in node["children"]],
+            )
+        if node["dtype"] is None:
+            raise ValueError(f"column {path} has a @def chunk but no leaves")
+        return ("leaf", path, node["dtype"])
+
+    return [(name, finish(name, node)) for name, node in roots]
+
+
+def _node_spark_type(node) -> T.DataType:
+    if node[0] == "leaf":
+        return spark_type_of(node[2])
+    return T.StructType(
+        [T.StructField(f, _node_spark_type(ch), True) for f, ch in node[2]]
+    )
+
+
+def _node_flat_names(node) -> list[str]:
+    if node[0] == "leaf":
+        return [node[1]]
+    out = [node[1]] if node[1] else []
+    for _, ch in node[2]:
+        out.extend(_node_flat_names(ch))
+    return out
+
+
+def _assemble_node(node, decoded: dict, pa_types: dict) -> pa.Array:
+    import pyarrow.compute as pc
+
+    if node[0] == "leaf":
+        arr = decoded[node[1]]
+        want = pa_types[node[1]]
+        return arr.cast(want) if arr.type != want else arr
+    children = [(f, _assemble_node(ch, decoded, pa_types)) for f, ch in node[2]]
+    mask = None
+    if node[1] is not None:
+        valid = decoded[node[1]]
+        if valid.null_count or not pc.all(valid).as_py():
+            mask = pc.invert(valid)
+    return pa.StructArray.from_arrays(
+        [a for _, a in children], names=[f for f, _ in children], mask=mask
+    )
 
 
 def spark_type_of(dtype: str) -> T.DataType:
@@ -218,7 +351,12 @@ def pretrain_fsst_tables(
     str_cols = [c for c in cols if dtypes[c] in ("string", "binary")]
     if not str_cols:
         return {}
-    sample = df.select(*str_cols).limit(sample_rows).collect()
+    # backtick-quote: flattened struct leaves carry dotted names
+    sample = (
+        df.select(*[F.col(f"`{c}`").alias(c) for c in str_cols])
+        .limit(sample_rows)
+        .collect()
+    )
     tables: dict[str, list[bytes]] = {}
     for c in str_cols:
         vals = [
@@ -247,7 +385,7 @@ def encode_columns(
     (/root/reference/lib/writer.js:424-477), as a queryable table.
     """
     cols = columns or df.columns
-    dtypes = {c: logical_dtype(df.schema[c].dataType) for c in cols}
+    df, cols, dtypes, pretty = flatten_struct_columns(df, cols)
     if fsst_tables is None and codec in ("auto", "FSST"):
         fsst_tables = pretrain_fsst_tables(df, cols, dtypes)
 
@@ -275,7 +413,7 @@ def encode_columns(
                 wall_ms = (time.perf_counter() - t0) * 1000.0
                 rows["part_id"].append(part_id)
                 rows["chunk_seq"].append(seq)
-                rows["column"].append(c)
+                rows["column"].append(pretty[c])
                 rows["col_idx"].append(ci)
                 rows["dtype"].append(dtypes[c])
                 rows["codec"].append(stats["codec"])
@@ -372,23 +510,31 @@ def decode_table(blob_df: DataFrame, columns: list[str] | None = None) -> DataFr
         meta_rows,
         key=lambda r: (r["col_idx"] if r["col_idx"] is not None else 0, r["column"]),
     )
-    by_name = {r["column"]: r for r in meta_rows}
+    # rebuild the nested shape from flat chunk names ("s.a", "s@def" —
+    # reference nested groups, lib/schema.js:102-120)
+    tree = dict(_unflatten_tree([(r["column"], r["dtype"]) for r in meta_rows]))
     if columns is None:
-        columns = list(by_name)
-    missing = [c for c in columns if c not in by_name]
+        columns = list(tree)
+    missing = [c for c in columns if c not in tree]
     if missing:
         raise ValueError(f"no chunks for columns: {missing}")
-    dtypes = {c: by_name[c]["dtype"] for c in columns}
+    nodes = {c: tree[c] for c in columns}
     out_schema = T.StructType(
-        [T.StructField(c, spark_type_of(dtypes[c])) for c in columns]
+        [T.StructField(c, _node_spark_type(nodes[c])) for c in columns]
     )
-    pa_types = {}
+    flat_names: list[str] = []
     for c in columns:
-        dt = dtypes[c]
-        if dt.startswith("list_"):
-            pa_types[c] = pa.list_(_LOGICAL_TO_PA[dt[len("list_") :]])
+        flat_names.extend(_node_flat_names(nodes[c]))
+    flat_dtypes = {r["column"]: r["dtype"] for r in meta_rows}
+    pa_types = {}
+    for name in flat_names:
+        dt = flat_dtypes[name]
+        if name.endswith(STRUCT_DEF_SUFFIX):
+            pa_types[name] = pa.bool_()
+        elif dt.startswith("list_"):
+            pa_types[name] = pa.list_(_LOGICAL_TO_PA[dt[len("list_") :]])
         else:
-            pa_types[c] = _LOGICAL_TO_PA[dt]
+            pa_types[name] = _LOGICAL_TO_PA[dt]
     want = list(columns)
 
     def assemble(group: pa.Table) -> pa.Table:
@@ -397,18 +543,17 @@ def decode_table(blob_df: DataFrame, columns: list[str] | None = None) -> DataFr
         decoded: dict[str, pa.Array] = {}
         for i, name in enumerate(names):
             arr, _ = arrow_chunk.decode_arrow_column(blobs[i].as_py())
-            if arr.type != pa_types[name]:
-                arr = arr.cast(pa_types[name])
             decoded[name] = arr
-        absent = [c for c in want if c not in decoded]
+        absent = [c for c in flat_names if c not in decoded]
         if absent:
             raise ValueError(
                 f"row group missing column chunks: {absent} "
                 "(partial manifest? decode from a complete blob table)"
             )
-        return pa.Table.from_arrays([decoded[c] for c in want], names=want)
+        arrays = [_assemble_node(nodes[c], decoded, pa_types) for c in want]
+        return pa.Table.from_arrays(arrays, names=want)
 
-    pruned = blob_df.where(F.col("column").isin(want)).select(
+    pruned = blob_df.where(F.col("column").isin(flat_names)).select(
         "part_id", "chunk_seq", "column", "data"
     )
     return pruned.groupBy("part_id", "chunk_seq").applyInArrow(
