@@ -195,6 +195,20 @@ def _q_rt_struct_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_rt_flba_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIXED_LEN_BYTE_ARRAY round-trip (reference
+    lib/codec/plain.js:179-209): 16-byte md5 digests as a binary column;
+    the selector detects uniform widths and picks the FLBA codec."""
+    from pyspark.sql import functions as F
+
+    from parquetjs_spark import pipeline
+
+    df = _load(spark, sf_dir, "documents").select(
+        F.unhex(F.md5(F.col("text"))).alias("digest")
+    )
+    return pipeline.roundtrip_column(df, "digest")
+
+
 def _q_rt_array_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repeated-field (array<float>) round-trip — Dremel L3/L4
     re-expression (rows-only: array cell hashing is comparator-specific)."""
@@ -230,6 +244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["rt_table_lineitem"] = _q_rt_table_lineitem
     out["rt_table_events"] = _q_rt_table_events
     out["rt_struct_lineitem"] = _q_rt_struct_lineitem
+    out["rt_flba_digest"] = _q_rt_flba_digest
     out["rt_array_embedding"] = _q_rt_array_embedding
     out["rt_array_emb_elem0"] = _q_rt_array_emb_elem0
 
@@ -275,6 +290,7 @@ def oracle_sql() -> dict[str, str]:
     out["rt_struct_lineitem"] = (
         "SELECT l_orderkey AS ok, l_quantity AS qty, l_returnflag FROM lineitem"
     )
+    out["rt_flba_digest"] = "SELECT unhex(md5(text)) AS digest FROM documents"
     out["rt_array_emb_elem0"] = (
         "SELECT CAST(embedding[1] AS DOUBLE) AS e0, "
         "CAST(len(embedding) AS INTEGER) AS dim FROM embeddings"

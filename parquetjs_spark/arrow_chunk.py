@@ -38,6 +38,7 @@ from .codecs import (
     CODEC_IDS,
     CODEC_NAMES,
     DICT_RLE,
+    FLBA,
     FOR_BITPACK,
     FSST,
     PLAIN,
@@ -140,6 +141,23 @@ def _str_stream(block: StrBlock) -> bytes:
 def _str_stream_decode(buf: memoryview, n: int) -> StrBlock:
     offsets, data = strstream.decode_lens_payload(buf, n)
     return StrBlock(data, offsets)
+
+
+def _encode_flba_block(block: StrBlock) -> bytes:
+    """Fixed-length byte arrays: u32 width + raw concatenation
+    (/root/reference/lib/codec/plain.js:179-209).  Valid only when every
+    non-null value has the same length (the selector checks)."""
+    lens = block.lens
+    width = int(lens[0]) if block.n else 0
+    if block.n and not (lens == width).all():
+        raise ValueError("FLBA requires uniform value lengths")
+    return width.to_bytes(4, "little") + block.concat_bytes()
+
+
+def _decode_flba_block(buf: memoryview, n: int) -> StrBlock:
+    width = int.from_bytes(bytes(buf[:4]), "little")
+    offsets = np.arange(n + 1, dtype=np.int64) * width
+    return StrBlock(bytes(buf[4:4 + n * width]), offsets)
 
 
 # --------------------------------------------------------------------------
@@ -246,6 +264,8 @@ def _select_string_codec(block: StrBlock, fsst_state: dict | None) -> tuple[str,
             return fsst_state["sel"], {"cached": True}
         del fsst_state["sel"]
     total = block.total
+    lens = block.lens
+    uniform = bool(n) and bool((lens == lens[0]).all())
     sample = block.slice_values(min(n, SAMPLE_VALUES))
     arr = sample.to_pa(binary=True)
     denc = pc.dictionary_encode(arr)
@@ -265,6 +285,10 @@ def _select_string_codec(block: StrBlock, fsst_state: dict | None) -> tuple[str,
         PLAIN: total + n,
         DICT_RLE: int((9 + dict_bytes + est_idx) * scale),
     }
+    if uniform:
+        # dominates PLAIN raw on fixed-width values (hashes, ids); PLAIN
+        # stays as the FSST comparison anchor below
+        cands[FLBA] = total + 4
     # Evaluate FSST unless dictionary is *clearly* winning: low sample
     # cardinality alone is no reason to skip — when the uniques carry
     # most of the bytes (long repeated documents), dict saves little and
@@ -443,6 +467,8 @@ def _encode_list_column(
             codec, sel_info = _select_string_codec(elem_values, fsst_state)
         if codec == PLAIN:
             elem_raw = _str_stream(elem_values)
+        elif codec == FLBA:
+            elem_raw = _encode_flba_block(elem_values)
         elif codec == DICT_RLE:
             elem_raw = _encode_dict_block(elem_values)
         elif codec == FSST:
@@ -475,6 +501,8 @@ def _decode_list_column(
     if elem_dtype == "string":
         if codec == PLAIN:
             elems = _str_stream_decode(elem_mv, n_elems)
+        elif codec == FLBA:
+            elems = _decode_flba_block(elem_mv, n_elems)
         elif codec == DICT_RLE:
             elems = _decode_dict_block(elem_mv, n_elems)
         elif codec == FSST:
@@ -525,6 +553,8 @@ def encode_arrow_column(
             codec, sel_info = _select_string_codec(values, fsst_state)
         if codec == PLAIN:
             values_raw = _str_stream(values)
+        elif codec == FLBA:
+            values_raw = _encode_flba_block(values)
         elif codec == DICT_RLE:
             values_raw = _encode_dict_block(values)
         elif codec == FSST:
@@ -617,6 +647,8 @@ def decode_arrow_column(blob: bytes | memoryview) -> tuple[pa.Array, str]:
     if dtype in ("string", "binary"):
         if codec == PLAIN:
             block = _str_stream_decode(memoryview(values_raw), nn)
+        elif codec == FLBA:
+            block = _decode_flba_block(memoryview(values_raw), nn)
         elif codec == DICT_RLE:
             block = _decode_dict_block(memoryview(values_raw), nn)
         elif codec == FSST:

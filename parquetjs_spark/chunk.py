@@ -36,6 +36,7 @@ from .codecs import (
     CODEC_IDS,
     CODEC_NAMES,
     DICT_RLE,
+    FLBA,
     FOR_BITPACK,
     FSST,
     PLAIN,
@@ -273,6 +274,11 @@ def _encode_values(vals, dtype: str, codec: str, fsst_table=None, fsst_state=Non
     # string / binary
     if codec == PLAIN:
         return strstream.encode_byte_arrays(vals)
+    if codec == FLBA:
+        width = len(vals[0]) if len(vals) else 0
+        return width.to_bytes(4, "little") + plain.encode_fixed_len_byte_array(
+            list(vals), width
+        )
     if codec == DICT_RLE:
         return dictionary.encode(vals, "BYTE_ARRAY")
     if codec == FSST:
@@ -291,6 +297,9 @@ def _decode_values(buf: memoryview, n: int, dtype: str, codec: str):
         raise ValueError(f"codec {codec} unsupported for {dtype}")
     if codec == PLAIN:
         return strstream.decode_byte_arrays(buf, n)
+    if codec == FLBA:
+        width = int.from_bytes(bytes(buf[:4]), "little")
+        return plain.decode_fixed_len_byte_array(memoryview(buf)[4:], n, width)
     if codec == DICT_RLE:
         return list(dictionary.decode(buf, n, "BYTE_ARRAY"))
     if codec == FSST:
@@ -381,6 +390,9 @@ def select_codec(vals, dtype: str, fsst_state: dict | None = None) -> tuple[str,
     ds = dictionary.stats(sample_vals, "BYTE_ARRAY")
     scale = n / len(sample_vals)
     cands = {PLAIN: total + n, DICT_RLE: int(ds["est_size"] * scale)}
+    if n and (lens == lens[0]).all():
+        # uniform widths (hashes, fixed ids) -> FLBA, raw concat + u32
+        cands[FLBA] = total + 4
     # FSST candidacy measured on a bounded sample (SURVEY.md §7.3).
     # Candidate sizes are estimated POST block-compression — comparing raw
     # encodings would make FSST look dominant even where zlib-on-PLAIN

@@ -2,15 +2,18 @@
 (which registers only PLAIN and RLE); ours adds DICT_RLE, FOR_BITPACK and
 FSST per the north rule."""
 
-from . import compress, dictionary, for_bp, fsst, plain, rle, util
+from . import compress, dictionary, for_bp, fsst, plain, rle, strstream, util
 
 PLAIN = "PLAIN"
 RLE = "RLE"
 DICT_RLE = "DICT_RLE"
 FOR_BITPACK = "FOR_BITPACK"
 FSST = "FSST"
+# fixed-length byte arrays: raw concatenation + one u32 width
+# (/root/reference/lib/codec/plain.js:179-209 FIXED_LEN_BYTE_ARRAY)
+FLBA = "FLBA"
 
-CODEC_IDS = {PLAIN: 0, RLE: 1, DICT_RLE: 2, FOR_BITPACK: 3, FSST: 4}
+CODEC_IDS = {PLAIN: 0, RLE: 1, DICT_RLE: 2, FOR_BITPACK: 3, FSST: 4, FLBA: 5}
 CODEC_NAMES = {v: k for k, v in CODEC_IDS.items()}
 
 __all__ = [
@@ -20,12 +23,14 @@ __all__ = [
     "fsst",
     "plain",
     "rle",
+    "strstream",
     "util",
     "PLAIN",
     "RLE",
     "DICT_RLE",
     "FOR_BITPACK",
     "FSST",
+    "FLBA",
     "CODEC_IDS",
     "CODEC_NAMES",
 ]

@@ -154,6 +154,34 @@ def test_forced_compression_roundtrip():
         assert out.tolist() == s.tolist()
 
 
+def test_flba_roundtrip_and_autoselect():
+    """Uniform-width binary (hashes, ids) -> FLBA codec
+    (/root/reference/lib/codec/plain.js:179-209)."""
+    import hashlib
+
+    from parquetjs_spark.codecs import FLBA
+
+    vals = [hashlib.md5(b"%d" % i).digest() for i in range(3000)]
+    s = pd.Series(vals, dtype=object)
+    out, stats = roundtrip(s, "binary")
+    assert stats["codec"] == FLBA
+    assert out.tolist() == vals
+    # forced FLBA on non-uniform lengths must refuse, not corrupt
+    bad = pd.Series([b"ab", b"abc"], dtype=object)
+    with pytest.raises(ValueError, match="FLBA|FIXED_LEN"):
+        chunk.encode_chunk(bad, "binary", codec=FLBA)
+
+
+def test_flba_with_nulls():
+    from parquetjs_spark.codecs import FLBA
+
+    vals = [b"0123456789abcdef", None, b"fedcba9876543210", None] * 40
+    s = pd.Series(vals, dtype=object)
+    out, stats = roundtrip(s, "binary", codec=FLBA)
+    assert stats["n_nulls"] == 80
+    assert out.tolist() == vals
+
+
 def test_empty_chunk():
     out, stats = roundtrip(pd.Series([], dtype=object), "string")
     assert stats["n"] == 0 and len(out) == 0
