@@ -195,6 +195,20 @@ def _q_rt_struct_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_rt_decimal_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECIMAL(12,2) round-trip: unscaled int64 under the int codecs
+    (Spark-first extension; the reference has no DECIMAL —
+    /root/reference/parquet.thrift:79 enum only)."""
+    from pyspark.sql import functions as F
+
+    from parquetjs_spark import pipeline
+
+    df = _load(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").cast("decimal(12,2)").alias("price")
+    )
+    return pipeline.roundtrip_column(df, "price")
+
+
 def _q_rt_flba_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FIXED_LEN_BYTE_ARRAY round-trip (reference
     lib/codec/plain.js:179-209): 16-byte md5 digests as a binary column;
@@ -245,6 +259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["rt_table_events"] = _q_rt_table_events
     out["rt_struct_lineitem"] = _q_rt_struct_lineitem
     out["rt_flba_digest"] = _q_rt_flba_digest
+    out["rt_decimal_price"] = _q_rt_decimal_price
     out["rt_array_embedding"] = _q_rt_array_embedding
     out["rt_array_emb_elem0"] = _q_rt_array_emb_elem0
 
@@ -291,6 +306,9 @@ def oracle_sql() -> dict[str, str]:
         "SELECT l_orderkey AS ok, l_quantity AS qty, l_returnflag FROM lineitem"
     )
     out["rt_flba_digest"] = "SELECT unhex(md5(text)) AS digest FROM documents"
+    out["rt_decimal_price"] = (
+        "SELECT CAST(l_extendedprice AS DECIMAL(12,2)) AS price FROM lineitem"
+    )
     out["rt_array_emb_elem0"] = (
         "SELECT CAST(embedding[1] AS DOUBLE) AS e0, "
         "CAST(len(embedding) AS INTEGER) AS dim FROM embeddings"

@@ -33,6 +33,7 @@ from .chunk import (
     SAMPLE_VALUES,
     SEL_CACHE_USES,
     _PTYPE,
+    dtype_id,
 )
 from .codecs import (
     CODEC_IDS,
@@ -526,6 +527,58 @@ def _decode_list_column(
     return dense.take(pa.array(idx, mask=~valid))
 
 
+def _decimal_parts(arr: pa.Array):
+    """decimal128 arrow array -> (unscaled int64 of non-nulls, valid).
+    p <= 18 guarantees the unscaled value fits the low 8 bytes."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if arr.null_count:
+        valid = pc.is_valid(arr).to_numpy(zero_copy_only=False)
+        nn = arr.drop_null()
+    else:
+        valid = np.ones(len(arr), dtype=bool)
+        nn = arr
+    if isinstance(nn, pa.ChunkedArray):
+        nn = nn.combine_chunks()
+    raw = np.frombuffer(nn.buffers()[1], dtype="<i8")
+    # 16-byte little-endian int128 per value: even lanes = low 8 bytes
+    vals = raw[nn.offset * 2 :][: 2 * len(nn)][0::2].copy()
+    return vals, valid
+
+
+def _decimal_to_arrow(vals: np.ndarray, valid: np.ndarray, p: int, sc: int) -> pa.Array:
+    nn = len(vals)
+    pairs = np.empty((nn, 2), dtype=np.int64)
+    pairs[:, 0] = vals
+    pairs[:, 1] = vals >> 63  # sign extension to int128
+    dense = pa.Array.from_buffers(
+        pa.decimal128(p, sc), nn, [None, pa.py_buffer(pairs.tobytes())]
+    )
+    if valid.all():
+        return dense
+    idx = np.full(len(valid), -1, dtype=np.int64)
+    idx[valid] = np.arange(nn)
+    return dense.take(pa.array(idx, mask=~valid))
+
+
+def _encode_decimal_column(arr, dtype, codec, compression, fsst_state):
+    from . import chunk as chunklib
+
+    p, sc = (int(x) for x in dtype[len("decimal(") : -1].split(","))
+    vals, valid = _decimal_parts(arr)
+    n = len(valid)
+    n_nulls = int(n - valid.sum())
+    sel_info: dict = {}
+    if codec == "auto":
+        codec, sel_info = chunklib.select_codec(vals, "int64", fsst_state)
+    payload = chunklib._encode_values(vals, "int64", codec, None, fsst_state)
+    values_raw = bytes([p, sc]) + payload
+    return _assemble_blob(
+        dtype, codec, compression, n, n_nulls, valid, values_raw,
+        8 * len(vals), _canonical_sha256_block(vals, valid, "int64"), sel_info,
+    )
+
+
 def encode_arrow_column(
     arr: pa.Array,
     dtype: str,
@@ -533,6 +586,8 @@ def encode_arrow_column(
     compression: str = "auto",
     fsst_state: dict | None = None,
 ) -> tuple[bytes, dict]:
+    if dtype.startswith("decimal("):
+        return _encode_decimal_column(arr, dtype, codec, compression, fsst_state)
     if dtype.startswith("list_"):
         values_raw, valid, codec, content_bytes, sha, sel_info = _encode_list_column(
             arr, dtype, codec, fsst_state
@@ -600,7 +655,7 @@ def _assemble_blob(
     blob = b"".join(
         (
             MAGIC,
-            bytes([DTYPE_IDS[dtype], CODEC_IDS[codec], comp.comp_id(compression), flags]),
+            bytes([dtype_id(dtype), CODEC_IDS[codec], comp.comp_id(compression), flags]),
             n.to_bytes(4, "little"),
             n_nulls.to_bytes(4, "little"),
             len(levels).to_bytes(4, "little"),
@@ -642,6 +697,15 @@ def decode_arrow_column(blob: bytes | memoryview) -> tuple[pa.Array, str]:
     pos += levels_len
     values_raw = comp.decompress(compression, bytes(mv[pos : pos + values_len]))
     nn = n - n_nulls
+    if dtype == "decimal":
+        from . import chunk as chunklib
+
+        p, sc = values_raw[0], values_raw[1]
+        vals = chunklib._decode_values(memoryview(values_raw)[2:], nn, "int64", codec)
+        return (
+            _decimal_to_arrow(np.asarray(vals, dtype=np.int64), valid, p, sc),
+            f"decimal({p},{sc})",
+        )
     if dtype.startswith("list_"):
         return _decode_list_column(values_raw, nn, dtype, codec, valid), dtype
     if dtype in ("string", "binary"):
@@ -664,6 +728,9 @@ def decode_arrow_column(blob: bytes | memoryview) -> tuple[pa.Array, str]:
 
 def verify_arrow(blob: bytes, expected_sha: str) -> bool:
     arr, dtype = decode_arrow_column(blob)
+    if dtype.startswith("decimal("):
+        vals, valid = _decimal_parts(arr)
+        return _canonical_sha256_block(vals, valid, "int64") == expected_sha
     if dtype.startswith("list_"):
         lens, elem_values, valid, elem_dtype = _list_parts(arr, dtype)
         return _canonical_sha256_list(lens, elem_values, valid, elem_dtype) == expected_sha

@@ -75,8 +75,21 @@ DTYPE_IDS = {
     "list_float64": 11,
     "list_float32": 12,
     "list_string": 13,
+    # DECIMAL(p<=18, s) carried as unscaled int64 under any int codec;
+    # precision/scale live in the values header (the reference lacks
+    # DECIMAL entirely — parquet.thrift:79 enum only, no lib/types.js
+    # entry — this is a Spark-first extension)
+    "decimal": 14,
 }
 DTYPE_NAMES = {v: k for k, v in DTYPE_IDS.items()}
+
+
+def dtype_id(dtype: str) -> int:
+    # chunk-header id; parametrized decimals share one id (p/s travel
+    # in the values header)
+    if dtype.startswith("decimal("):
+        return DTYPE_IDS["decimal"]
+    return DTYPE_IDS[dtype]
 
 _INT_LIKE = {"int64", "int32", "date", "timestamp_us", "bool"}
 _PTYPE = {
@@ -440,17 +453,21 @@ def encode_chunk(
     compression: str = "auto",
     fsst_state: dict | None = None,
 ) -> tuple[bytes, dict]:
-    if dtype.startswith("list_"):
-        # one-level repeated fields: delegate to the Arrow path (the
+    if dtype.startswith("list_") or dtype.startswith("decimal("):
+        # repeated fields + decimals: delegate to the Arrow path (the
         # wire format is defined once there); lazy import avoids a cycle
         import pyarrow as pa
 
         from . import arrow_chunk
 
-        elem = dtype[len("list_") :]
-        pa_elem = {"int64": pa.int64(), "int32": pa.int32(), "float64": pa.float64(),
-                   "float32": pa.float32(), "string": pa.string()}[elem]
-        arr = pa.array(series.tolist(), type=pa.list_(pa_elem))
+        if dtype.startswith("decimal("):
+            prec, sc = (int(x) for x in dtype[len("decimal(") : -1].split(","))
+            arr = pa.array(series.tolist(), type=pa.decimal128(prec, sc))
+        else:
+            elem = dtype[len("list_") :]
+            pa_elem = {"int64": pa.int64(), "int32": pa.int32(), "float64": pa.float64(),
+                       "float32": pa.float32(), "string": pa.string()}[elem]
+            arr = pa.array(series.tolist(), type=pa.list_(pa_elem))
         return arrow_chunk.encode_arrow_column(
             arr, dtype, codec=codec, compression=compression, fsst_state=fsst_state
         )
@@ -526,7 +543,7 @@ def decode_chunk(blob: bytes | memoryview) -> tuple[pd.Series, str]:
     mv = memoryview(blob)
     if bytes(mv[:4]) != MAGIC:
         raise ValueError("bad chunk magic")
-    if DTYPE_NAMES[mv[4]].startswith("list_"):
+    if DTYPE_NAMES[mv[4]].startswith("list_") or DTYPE_NAMES[mv[4]] == "decimal":
         from . import arrow_chunk
 
         arr, dtype = arrow_chunk.decode_arrow_column(blob)
@@ -555,7 +572,8 @@ def decode_chunk(blob: bytes | memoryview) -> tuple[pd.Series, str]:
 
 def verify_chunk(blob: bytes, expected_sha: str) -> bool:
     """Decode and re-hash — the bit-identity check (BASELINE.json:15)."""
-    if DTYPE_NAMES[memoryview(blob)[4]].startswith("list_"):
+    hdr_dtype = DTYPE_NAMES[memoryview(blob)[4]]
+    if hdr_dtype.startswith("list_") or hdr_dtype == "decimal":
         from . import arrow_chunk
 
         return arrow_chunk.verify_arrow(blob, expected_sha)

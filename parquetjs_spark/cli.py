@@ -71,7 +71,8 @@ def cmd_encode(args) -> int:
     else:
         blobs = pipeline.encode_columns(df, cols, chunk_rows=args.chunk_rows)
         mode = "overwrite"
-    pipeline.write_encoded(blobs, args.output, mode=mode)
+    metadata = dict(kv.split("=", 1) for kv in (args.meta or []))
+    pipeline.write_encoded(blobs, args.output, mode=mode, metadata=metadata)
     if args.resume_from:
         # the output manifest includes previously committed chunks when
         # resuming into the same dir — report only this run's delta
@@ -141,6 +142,13 @@ def main(argv: list[str] | None = None) -> int:
     pe.add_argument("--salt-key", default=None, help="skewed key column to salt on")
     pe.add_argument("--salt-buckets", type=int, default=16)
     pe.add_argument("--resume-from", default=None, help="prior output path (manifest)")
+    pe.add_argument(
+        "--meta",
+        action="append",
+        default=None,
+        metavar="KEY=VALUE",
+        help="user footer metadata (repeatable; setMetadata analogue)",
+    )
     pe.set_defaults(fn=cmd_encode)
 
     pd_ = sub.add_parser("decode")

@@ -68,6 +68,15 @@ _LOGICAL_TO_SPARK: dict[str, T.DataType] = {
 _LIST_ELEMS = {"int64", "int32", "float64", "float32", "string"}
 
 
+def _pa_type_of(dtype: str) -> "pa.DataType":
+    if dtype.startswith("list_"):
+        return pa.list_(_LOGICAL_TO_PA[dtype[len("list_") :]])
+    if dtype.startswith("decimal("):
+        p, s = dtype[len("decimal(") : -1].split(",")
+        return pa.decimal128(int(p), int(s))
+    return _LOGICAL_TO_PA[dtype]
+
+
 def logical_dtype(spark_type: T.DataType) -> str:
     if isinstance(spark_type, T.NullType):
         # a void column is pure definition levels (every value null,
@@ -84,6 +93,13 @@ def logical_dtype(spark_type: T.DataType) -> str:
         if elem not in _LIST_ELEMS:
             raise ValueError(f"unsupported array element type: {elem}")
         return f"list_{elem}"
+    if isinstance(spark_type, T.DecimalType):
+        if spark_type.precision > 18:
+            raise ValueError(
+                "decimal precision > 18 not supported (unscaled value "
+                "must fit int64)"
+            )
+        return f"decimal({spark_type.precision},{spark_type.scale})"
     for cls, name in _SPARK_TO_LOGICAL.items():
         if isinstance(spark_type, cls):
             return name
@@ -221,6 +237,9 @@ def _assemble_node(node, decoded: dict, pa_types: dict) -> pa.Array:
 def spark_type_of(dtype: str) -> T.DataType:
     if dtype.startswith("list_"):
         return T.ArrayType(_LOGICAL_TO_SPARK[dtype[len("list_") :]])
+    if dtype.startswith("decimal("):
+        p, s = dtype[len("decimal(") : -1].split(",")
+        return T.DecimalType(int(p), int(s))
     return _LOGICAL_TO_SPARK[dtype]
 
 
@@ -460,10 +479,7 @@ def decode_column(
     out_schema = T.StructType(
         [T.StructField(out_name, out_type or spark_type_of(dtype))]
     )
-    if dtype.startswith("list_"):
-        pa_type = pa.list_(_LOGICAL_TO_PA[dtype[len("list_") :]])
-    else:
-        pa_type = _LOGICAL_TO_PA[dtype]
+    pa_type = _pa_type_of(dtype)
     if isinstance(out_type, T.TimestampType):
         # tz-aware Spark timestamps travel as UTC-instant arrow timestamps
         pa_type = pa.timestamp("us", tz="UTC")
@@ -531,10 +547,8 @@ def decode_table(blob_df: DataFrame, columns: list[str] | None = None) -> DataFr
         dt = flat_dtypes[name]
         if name.endswith(STRUCT_DEF_SUFFIX):
             pa_types[name] = pa.bool_()
-        elif dt.startswith("list_"):
-            pa_types[name] = pa.list_(_LOGICAL_TO_PA[dt[len("list_") :]])
         else:
-            pa_types[name] = _LOGICAL_TO_PA[dt]
+            pa_types[name] = _pa_type_of(dt)
     want = list(columns)
 
     def assemble(group: pa.Table) -> pa.Table:
@@ -647,13 +661,37 @@ def salted_repartition(
     return df.repartition(num_partitions, F.col(key), salt)
 
 
-def write_encoded(blob_df: DataFrame, path: str, mode: str = "overwrite") -> None:
+def write_encoded(
+    blob_df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    metadata: dict[str, str] | None = None,
+) -> None:
     """Persist blobs + a pure-metadata manifest (lineage) table.
 
     The manifest is the footer analogue (/root/reference/lib/writer.js:520-569)
-    but queryable: per-chunk codec, sizes, sha256, timing."""
+    but queryable: per-chunk codec, sizes, sha256, timing.  ``metadata``
+    is user key/value footer metadata (``setMetadata``,
+    /root/reference/lib/writer.js:147-149), stored as its own tiny
+    table."""
     blob_df.write.mode(mode).parquet(f"{path}/blobs")
     blob_df.select(*MANIFEST_COLUMNS).write.mode(mode).parquet(f"{path}/manifest")
+    if metadata:
+        spark = blob_df.sparkSession
+        mdf = spark.createDataFrame(
+            [(str(k), str(v)) for k, v in metadata.items()],
+            "key string, value string",
+        )
+        mdf.coalesce(1).write.mode(mode).parquet(f"{path}/meta")
+
+
+def read_metadata(spark: SparkSession, path: str) -> dict[str, str]:
+    """User KV metadata written alongside the manifest; {} if none."""
+    try:
+        rows = spark.read.parquet(f"{path}/meta").collect()
+    except Exception:
+        return {}
+    return {r["key"]: r["value"] for r in rows}
 
 
 def read_encoded(spark: SparkSession, path: str) -> DataFrame:

@@ -192,6 +192,53 @@ def test_array_of_struct_rejected(spark):
         pipeline.encode_columns(df).collect()
 
 
+def test_decimal_roundtrip(spark):
+    """DECIMAL(p<=18,s): unscaled int64 under the int codecs; exact
+    values, no float round-trip."""
+    df = load_table(spark, SF, "lineitem").select(
+        F.col("l_extendedprice").cast("decimal(12,2)").alias("price"),
+        F.col("l_discount").cast("decimal(4,3)").alias("disc"),
+    )
+    out = pipeline.roundtrip_table(df, chunk_rows=512)
+    assert out.schema == df.schema
+    assert sorted(map(repr, out.collect())) == sorted(map(repr, df.collect()))
+
+
+def test_decimal_with_nulls(spark):
+    import decimal as pydec
+
+    from pyspark.sql import Row
+
+    rows = [
+        Row(d=pydec.Decimal("12.34")),
+        Row(d=None),
+        Row(d=pydec.Decimal("-99999999.99")),
+    ] * 30
+    df = spark.createDataFrame(rows, "d decimal(10,2)")
+    out = pipeline.roundtrip_column(df, "d", chunk_rows=16)
+    assert sorted(map(repr, out.collect())) == sorted(map(repr, df.collect()))
+
+
+def test_decimal_precision_19_rejected(spark):
+    df = load_table(spark, SF, "lineitem").select(
+        F.col("l_extendedprice").cast("decimal(22,2)").alias("p")
+    )
+    with pytest.raises(Exception, match="precision"):
+        pipeline.encode_columns(df).collect()
+
+
+def test_user_kv_metadata(tmp_path, spark):
+    """setMetadata analogue (/root/reference/lib/writer.js:147-149)."""
+    df = load_table(spark, SF, "region")
+    blobs = pipeline.encode_columns(df)
+    pipeline.write_encoded(
+        blobs, str(tmp_path / "e"), metadata={"myKey": "myValue", "job": "42"}
+    )
+    md = pipeline.read_metadata(spark, str(tmp_path / "e"))
+    assert md == {"myKey": "myValue", "job": "42"}
+    assert pipeline.read_metadata(spark, str(tmp_path / "nope")) == {}
+
+
 def test_decode_table_missing_column_errors(spark):
     df = load_table(spark, SF, "region")
     blobs = pipeline.encode_columns(df)
