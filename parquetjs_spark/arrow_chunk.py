@@ -516,6 +516,13 @@ def _decode_list_column(
 
         vals = chunklib._decode_values(elem_mv, n_elems, elem_dtype, codec)
         child = pa.array(np.asarray(vals), type=_PA_TYPES[elem_dtype])
+    if int(lens.sum()) >= 2**31:
+        # int32 ListArray offsets would silently wrap (unreachable at the
+        # default 4096-row chunking; guards callers passing huge
+        # chunk_rows with wide arrays)
+        raise ValueError(
+            "list chunk flattens to >= 2^31 elements; reduce chunk_rows"
+        )
     offsets = np.zeros(nn + 1, dtype=np.int32)
     np.cumsum(lens, out=offsets[1:])
     dense = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), child)

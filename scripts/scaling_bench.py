@@ -149,6 +149,8 @@ def pair(n_cores: int, rows: int) -> dict:
         "pass": eff >= 0.8,
         "n_cpu": rn["cpu"],
         "n4_cpu": r4["cpu"],
+        "n_sha_mismatches": rn["sha_mismatches"],
+        "n4_sha_mismatches": r4["sha_mismatches"],
         "sha_mismatches": rn["sha_mismatches"] + r4["sha_mismatches"],
     }
 
@@ -184,8 +186,8 @@ Input: {a['rows']} rows, {a['content_mb']} MB of content.
 
 | run | parallelism | encode MB/s | cpu acct (user/sys/steal s) | sha mismatches |
 |---|---|---|---|---|
-| A-N  | local[2], pinned 2 CPUs | {a['n_mb_s']} | {a['n_cpu']['user']}/{a['n_cpu']['sys']}/{a['n_cpu']['steal']} | 0 |
-| A-4N | local[8], pinned 8 CPUs | {a['n4_mb_s']} | {a['n4_cpu']['user']}/{a['n4_cpu']['sys']}/{a['n4_cpu']['steal']} | 0 |
+| A-N  | local[2], pinned 2 CPUs | {a['n_mb_s']} | {a['n_cpu']['user']}/{a['n_cpu']['sys']}/{a['n_cpu']['steal']} | {a['n_sha_mismatches']} |
+| A-4N | local[8], pinned 8 CPUs | {a['n4_mb_s']} | {a['n4_cpu']['user']}/{a['n4_cpu']['sys']}/{a['n4_cpu']['steal']} | {a['n4_sha_mismatches']} |
 
 **Scaling efficiency = {a['n4_mb_s']} / (4 x {a['n_mb_s']}) =
 {a['efficiency']}** — {'PASS' if a['pass'] else 'FAIL'} (threshold 0.8).
@@ -196,8 +198,8 @@ Input: {b['rows']} rows, {b['content_mb']} MB of content.
 
 | run | parallelism | encode MB/s | cpu acct (user/sys/steal s) | sha mismatches |
 |---|---|---|---|---|
-| B-N  | local[8], pinned 8 CPUs | {b['n_mb_s']} | {b['n_cpu']['user']}/{b['n_cpu']['sys']}/{b['n_cpu']['steal']} | 0 |
-| B-4N | local[32], pinned 32 CPUs | {b['n4_mb_s']} | {b['n4_cpu']['user']}/{b['n4_cpu']['sys']}/{b['n4_cpu']['steal']} | 0 |
+| B-N  | local[8], pinned 8 CPUs | {b['n_mb_s']} | {b['n_cpu']['user']}/{b['n_cpu']['sys']}/{b['n_cpu']['steal']} | {b['n_sha_mismatches']} |
+| B-4N | local[32], pinned 32 CPUs | {b['n4_mb_s']} | {b['n4_cpu']['user']}/{b['n4_cpu']['sys']}/{b['n4_cpu']['steal']} | {b['n4_sha_mismatches']} |
 
 **Scaling efficiency = {b['n4_mb_s']} / (4 x {b['n_mb_s']}) =
 {b['efficiency']}** — {'PASS' if b['pass'] else 'FAIL (see below)'}.
@@ -205,15 +207,15 @@ Input: {b['rows']} rows, {b['content_mb']} MB of content.
 Pair B saturates the entire shared host: the 32-CPU run records
 hypervisor steal (col above) and user-CPU-per-MB inflation from
 LLC/memory-bandwidth sharing across all 32 cores of this single NUMA
-box.  The ceiling is the box, not the pipeline: a Spark-free
-multiprocessing run of the bare FSST kernel (128 x 4 MB buffers, warm
-arenas, no shuffle, no JVM) measures 0.69 efficiency going 8 -> 32
-processes on this host, while the same pipeline under a
-zlib-dominant codec mix (3-5 touched bytes per input byte instead of
-FSST's ~30) measures 0.94.  Four real 8-core executor nodes do not
-share one LLC or one memory controller, so pair B is a lower bound on
-real-cluster scaling; pair A, where both cluster sizes run with
-per-node-like isolation, is the representative measurement.
+box.  Kernel-isolation side measurements attributing this ceiling to
+the box rather than the pipeline (bare-FSST multiprocessing vs a
+zlib-dominant mix through the same pipeline) are maintained in
+/root/repo/BASELINE.md with their own run dates — they are one-off
+measurements, deliberately not reprinted by this generator.  Four real
+8-core executor nodes do not share one LLC or one memory controller,
+so pair B is a lower bound on real-cluster scaling; pair A, where both
+cluster sizes run with per-node-like isolation, is the representative
+measurement.
 
 Total sha mismatches across all four runs: {a['sha_mismatches'] + b['sha_mismatches']}.
 """
