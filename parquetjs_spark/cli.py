@@ -43,7 +43,11 @@ def cmd_encode(args) -> int:
     from parquetjs_spark.sources.iceberg import load_source_table
 
     spark = _spark(args)
-    df = load_source_table(spark, args.input)
+    try:
+        df = load_source_table(spark, args.input)
+    except RuntimeError as e:  # e.g. iceberg: ref without the runtime JAR
+        print(f"error: {e}", file=sys.stderr)
+        return 2
     cols = args.columns.split(",") if args.columns else None
     missing = [c for c in (cols or [])] + ([args.salt_key] if args.salt_key else [])
     missing = [c for c in missing if c not in df.columns]

@@ -726,7 +726,10 @@ def encode_summary(blob_df: DataFrame) -> DataFrame:
         )
         .withColumn(
             "ratio",
-            F.round(F.col("encoded_bytes") / F.greatest(F.col("content_bytes"), F.lit(1)), 4),
+            F.when(
+                F.col("content_bytes") > 0,
+                F.round(F.col("encoded_bytes") / F.col("content_bytes"), 4),
+            ),  # null for zero-content chunks (framing-only bytes)
         )
         .orderBy("column")
     )
