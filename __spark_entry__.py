@@ -195,6 +195,37 @@ def _q_rt_struct_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_rt_arrstruct_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-group round-trip (array<struct>, the reference's
+    `repeated group stock` shape, /root/reference/test/integration.js:21-26):
+    build a 2-element struct array per lineitem row, encode (shreds to
+    parallel list leaves + @edef), decode_table, project to scalars for
+    the oracle."""
+    from pyspark.sql import functions as F
+
+    from parquetjs_spark import pipeline
+
+    df = _load(spark, sf_dir, "lineitem").select(
+        F.array(
+            F.struct(
+                F.col("l_linenumber").alias("n"), F.col("l_quantity").alias("q")
+            ),
+            F.struct(
+                (F.col("l_linenumber") + 1).alias("n"),
+                (F.col("l_quantity") * 2).alias("q"),
+            ),
+        ).alias("xs"),
+        "l_orderkey",
+    )
+    out = pipeline.roundtrip_table(df)
+    return out.select(
+        F.element_at("xs", 1).getField("n").alias("n0"),
+        F.element_at("xs", 2).getField("q").alias("q1"),
+        F.size("xs").cast("long").alias("sz"),
+        "l_orderkey",
+    )
+
+
 def _q_rt_decimal_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DECIMAL(12,2) round-trip: unscaled int64 under the int codecs
     (Spark-first extension; the reference has no DECIMAL —
@@ -260,6 +291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["rt_struct_lineitem"] = _q_rt_struct_lineitem
     out["rt_flba_digest"] = _q_rt_flba_digest
     out["rt_decimal_price"] = _q_rt_decimal_price
+    out["rt_arrstruct_lineitem"] = _q_rt_arrstruct_lineitem
     out["rt_array_embedding"] = _q_rt_array_embedding
     out["rt_array_emb_elem0"] = _q_rt_array_emb_elem0
 
@@ -308,6 +340,10 @@ def oracle_sql() -> dict[str, str]:
     out["rt_flba_digest"] = "SELECT unhex(md5(text)) AS digest FROM documents"
     out["rt_decimal_price"] = (
         "SELECT CAST(l_extendedprice AS DECIMAL(12,2)) AS price FROM lineitem"
+    )
+    out["rt_arrstruct_lineitem"] = (
+        "SELECT l_linenumber AS n0, l_quantity * 2 AS q1, "
+        "CAST(2 AS BIGINT) AS sz, l_orderkey FROM lineitem"
     )
     out["rt_array_emb_elem0"] = (
         "SELECT CAST(embedding[1] AS DOUBLE) AS e0, "

@@ -418,9 +418,10 @@ def _canonical_sha256_block(values, valid: np.ndarray, dtype: str) -> str:
 
 
 def _list_parts(arr: pa.Array, dtype: str):
-    """Split a ListArray into (lens int64[nn], flat_values, valid) — the
-    one-level Dremel pivot (repetition levels collapse to per-row counts
-    when rLevelMax=1; /root/reference/lib/shred.js:100-135 semantics)."""
+    """Split a ListArray into (lens int64[nn], flat_values, elem_valid,
+    valid) — the one-level Dremel pivot (repetition levels collapse to
+    per-row counts when rLevelMax=1; element validity is the inner
+    definition level; /root/reference/lib/shred.js:100-135 semantics)."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     if arr.null_count:
@@ -433,24 +434,26 @@ def _list_parts(arr: pa.Array, dtype: str):
         nn = nn.combine_chunks()
     lens = pc.list_value_length(nn).to_numpy(zero_copy_only=False).astype(np.int64)
     flat = nn.flatten()
-    if flat.null_count:
-        raise NotImplementedError(
-            "null elements inside repeated fields are not supported "
-            "(reference repeated values are non-null; lib/shred.js:118-125)"
-        )
     elem_dtype = dtype[len("list_") :]
-    elem_values, _ = _arrow_to_values(flat, elem_dtype)
-    return lens, elem_values, valid, elem_dtype
+    # _arrow_to_values drops element nulls and returns their validity
+    elem_values, elem_valid = _arrow_to_values(flat, elem_dtype)
+    return lens, elem_values, elem_valid, valid, elem_dtype
 
 
-def _canonical_sha256_list(lens: np.ndarray, elem_values, valid, elem_dtype) -> str:
+def _canonical_sha256_list(
+    lens: np.ndarray, elem_values, elem_valid: np.ndarray, valid, elem_dtype
+) -> str:
     if elem_dtype in ("string", "binary"):
         body = _plain_stream(elem_values)
+    elif elem_dtype == "bool":
+        body = plain.encode_boolean(np.asarray(elem_values))
     else:
         body = plain.encode_numeric(_PTYPE[elem_dtype], np.asarray(elem_values))
     h = hashlib.sha256(body)
     h.update(b"|")
     h.update(lens.astype("<i8").tobytes())
+    h.update(b"|")
+    h.update(np.packbits(elem_valid.view(np.uint8), bitorder="little").tobytes())
     h.update(b"|")
     h.update(np.packbits(valid.view(np.uint8), bitorder="little").tobytes())
     return h.hexdigest()
@@ -459,11 +462,21 @@ def _canonical_sha256_list(lens: np.ndarray, elem_values, valid, elem_dtype) -> 
 def _encode_list_column(
     arr: pa.Array, dtype: str, codec: str, fsst_state: dict | None
 ):
-    """Payload: u32 lens_len ++ FOR-encoded per-row counts ++ flattened
-    elements under a scalar codec (recorded in the chunk codec byte)."""
-    lens, elem_values, valid, elem_dtype = _list_parts(arr, dtype)
+    """Payload: u32 lens_len ++ FOR-encoded per-row counts ++
+    u32 evalid_len ++ element-validity RLE (w=1; len 0 = no element
+    nulls) ++ flattened NON-NULL elements under a scalar codec
+    (recorded in the chunk codec byte)."""
+    lens, elem_values, elem_valid, valid, elem_dtype = _list_parts(arr, dtype)
     sel_info: dict = {}
-    if elem_dtype == "string":
+    if elem_dtype == "bool":
+        from . import chunk as chunklib
+
+        codec = PLAIN if codec == "auto" else codec
+        elem_raw = chunklib._encode_values(
+            np.asarray(elem_values), "bool", codec, None, fsst_state
+        )
+        content = (len(elem_values) + 7) // 8
+    elif elem_dtype in ("string", "binary"):
         if codec == "auto":
             codec, sel_info = _select_string_codec(elem_values, fsst_state)
         if codec == PLAIN:
@@ -485,8 +498,18 @@ def _encode_list_column(
         elem_raw = chunklib._encode_values(elem_values, elem_dtype, codec, None, fsst_state)
         content = int(np.asarray(elem_values).nbytes)
     lens_enc = for_bp.encode(lens)
-    values_raw = len(lens_enc).to_bytes(4, "little") + lens_enc + elem_raw
-    sha = _canonical_sha256_list(lens, elem_values, valid, elem_dtype)
+    if elem_valid.all():
+        ev_enc = b""
+    else:
+        ev_enc = rle.encode(elem_valid.astype(np.uint64), 1, disable_envelope=True)
+    values_raw = (
+        len(lens_enc).to_bytes(4, "little")
+        + lens_enc
+        + len(ev_enc).to_bytes(4, "little")
+        + ev_enc
+        + elem_raw
+    )
+    sha = _canonical_sha256_list(lens, elem_values, elem_valid, valid, elem_dtype)
     return values_raw, valid, codec, content + 8 * len(lens), sha, sel_info
 
 
@@ -496,26 +519,35 @@ def _decode_list_column(
     mv = memoryview(values_raw)
     lens_len = int.from_bytes(bytes(mv[:4]), "little")
     lens = for_bp.decode(mv[4 : 4 + lens_len], nn)
-    elem_mv = mv[4 + lens_len :]
+    pos = 4 + lens_len
+    ev_len = int.from_bytes(bytes(mv[pos : pos + 4]), "little")
     n_elems = int(lens.sum())
+    if ev_len:
+        elem_valid = rle.decode(
+            mv[pos + 4 : pos + 4 + ev_len], n_elems, 1, disable_envelope=True
+        ).astype(bool)
+    else:
+        elem_valid = np.ones(n_elems, dtype=bool)
+    elem_mv = mv[pos + 4 + ev_len :]
+    n_vals = int(elem_valid.sum())
     elem_dtype = dtype[len("list_") :]
-    if elem_dtype == "string":
+    if elem_dtype in ("string", "binary"):
         if codec == PLAIN:
-            elems = _str_stream_decode(elem_mv, n_elems)
+            elems = _str_stream_decode(elem_mv, n_vals)
         elif codec == FLBA:
-            elems = _decode_flba_block(elem_mv, n_elems)
+            elems = _decode_flba_block(elem_mv, n_vals)
         elif codec == DICT_RLE:
-            elems = _decode_dict_block(elem_mv, n_elems)
+            elems = _decode_dict_block(elem_mv, n_vals)
         elif codec == FSST:
-            elems = _decode_fsst_block(elem_mv, n_elems)
+            elems = _decode_fsst_block(elem_mv, n_vals)
         else:
             raise ValueError(f"codec {codec} unsupported for {dtype}")
-        child = elems.to_pa(binary=False).cast(pa.string())
+        child = _values_to_arrow(elems, elem_valid, elem_dtype)
     else:
         from . import chunk as chunklib
 
-        vals = chunklib._decode_values(elem_mv, n_elems, elem_dtype, codec)
-        child = pa.array(np.asarray(vals), type=_PA_TYPES[elem_dtype])
+        vals = chunklib._decode_values(elem_mv, n_vals, elem_dtype, codec)
+        child = _values_to_arrow(np.asarray(vals), elem_valid, elem_dtype)
     if int(lens.sum()) >= 2**31:
         # int32 ListArray offsets would silently wrap (unreachable at the
         # default 4096-row chunking; guards callers passing huge
@@ -739,7 +771,10 @@ def verify_arrow(blob: bytes, expected_sha: str) -> bool:
         vals, valid = _decimal_parts(arr)
         return _canonical_sha256_block(vals, valid, "int64") == expected_sha
     if dtype.startswith("list_"):
-        lens, elem_values, valid, elem_dtype = _list_parts(arr, dtype)
-        return _canonical_sha256_list(lens, elem_values, valid, elem_dtype) == expected_sha
+        lens, elem_values, elem_valid, valid, elem_dtype = _list_parts(arr, dtype)
+        return (
+            _canonical_sha256_list(lens, elem_values, elem_valid, valid, elem_dtype)
+            == expected_sha
+        )
     values, valid = _arrow_to_values(arr, dtype)
     return _canonical_sha256_block(values, valid, dtype) == expected_sha

@@ -75,6 +75,8 @@ DTYPE_IDS = {
     "list_float64": 11,
     "list_float32": 12,
     "list_string": 13,
+    "list_bool": 15,
+    "list_binary": 16,
     # DECIMAL(p<=18, s) carried as unscaled int64 under any int codec;
     # precision/scale live in the values header (the reference lacks
     # DECIMAL entirely — parquet.thrift:79 enum only, no lib/types.js
@@ -466,7 +468,8 @@ def encode_chunk(
         else:
             elem = dtype[len("list_") :]
             pa_elem = {"int64": pa.int64(), "int32": pa.int32(), "float64": pa.float64(),
-                       "float32": pa.float32(), "string": pa.string()}[elem]
+                       "float32": pa.float32(), "string": pa.string(),
+                       "bool": pa.bool_(), "binary": pa.binary()}[elem]
             arr = pa.array(series.tolist(), type=pa.list_(pa_elem))
         return arrow_chunk.encode_arrow_column(
             arr, dtype, codec=codec, compression=compression, fsst_state=fsst_state

@@ -65,7 +65,7 @@ _LOGICAL_TO_SPARK: dict[str, T.DataType] = {
 }
 
 
-_LIST_ELEMS = {"int64", "int32", "float64", "float32", "string"}
+_LIST_ELEMS = {"int64", "int32", "float64", "float32", "string", "bool", "binary"}
 
 
 def _pa_type_of(dtype: str) -> "pa.DataType":
@@ -121,6 +121,15 @@ def logical_dtype(spark_type: T.DataType) -> str:
 # encoded column names (they would break Spark field access anyway).
 
 STRUCT_DEF_SUFFIX = "@def"
+# repeated groups (array<struct>): per-node element-validity list chunk.
+# "@edef" = list<bool>, true where the i-th element struct is present
+# (the reference's repeated-group definition level one deeper,
+# lib/shred.js:75-135 with rLevelMax=1 at the group).
+LIST_STRUCT_DEF_SUFFIX = "@edef"
+
+
+def _is_arrstruct(dt: T.DataType) -> bool:
+    return isinstance(dt, T.ArrayType) and isinstance(dt.elementType, T.StructType)
 
 
 def _flatten_exprs(path: str, col, dt: T.DataType, out: list) -> None:
@@ -128,8 +137,39 @@ def _flatten_exprs(path: str, col, dt: T.DataType, out: list) -> None:
         out.append((path + STRUCT_DEF_SUFFIX, col.isNotNull(), "bool"))
         for f in dt.fields:
             _flatten_exprs(f"{path}.{f.name}", col.getField(f.name), f.dataType, out)
+    elif _is_arrstruct(dt):
+        _flatten_arrstruct(path, col, dt.elementType, out, lambda x: x)
     else:
         out.append((path, col, logical_dtype(dt)))
+
+
+def _flatten_arrstruct(path: str, col, st: T.StructType, out: list, extract) -> None:
+    """Shred array<struct> into parallel list leaves sharing the array
+    shape + one list<bool> element-validity chunk per struct node."""
+    out.append(
+        (
+            path + LIST_STRUCT_DEF_SUFFIX,
+            F.transform(col, lambda x: extract(x).isNotNull()),
+            "list_bool",
+        )
+    )
+    for f in st.fields:
+        sub = (lambda g, name: (lambda x: g(x).getField(name)))(extract, f.name)
+        fpath = f"{path}.{f.name}"
+        if isinstance(f.dataType, T.StructType):
+            _flatten_arrstruct(fpath, col, f.dataType, out, sub)
+        elif isinstance(f.dataType, T.ArrayType):
+            raise ValueError(
+                "nested repeated fields (array inside array<struct>, "
+                "rLevelMax>1) are not supported"
+            )
+        else:
+            elem = logical_dtype(f.dataType)
+            if elem not in _LIST_ELEMS:
+                raise ValueError(
+                    f"unsupported array<struct> field type: {elem}"
+                )
+            out.append((fpath, F.transform(col, sub), f"list_{elem}"))
 
 
 def flatten_struct_columns(df: DataFrame, cols: list[str]):
@@ -140,7 +180,11 @@ def flatten_struct_columns(df: DataFrame, cols: list[str]):
     ``pretty`` maps them to the dotted chunk names recorded in the
     manifest.  No-op (same df, identity mapping) when no column is a
     struct."""
-    if not any(isinstance(df.schema[c].dataType, T.StructType) for c in cols):
+    if not any(
+        isinstance(df.schema[c].dataType, T.StructType)
+        or _is_arrstruct(df.schema[c].dataType)
+        for c in cols
+    ):
         return (
             df,
             list(cols),
@@ -162,15 +206,18 @@ def flatten_struct_columns(df: DataFrame, cols: list[str]):
 def _unflatten_tree(ordered: list[tuple[str, str]]):
     """Group flat chunk names (ordered by col_idx) back into nested nodes.
 
-    Returns list of (out_name, node); node is ("leaf", flat_name, dtype)
-    or ("struct", def_name, [(field_name, node), ...])."""
+    Returns list of (out_name, node); node is ("leaf", flat_name, dtype),
+    ("struct", def_name, [(field_name, node), ...]), or
+    ("liststruct", edef_name, [(field_name, node), ...]) for repeated
+    groups (array<struct>); inside a liststruct subtree nested struct
+    nodes are liststruct too (their fields are parallel list leaves)."""
     roots: list[tuple[str, dict]] = []
     by_name: dict[str, dict] = {}
 
     def get_node(path: str) -> dict:
         node = by_name.get(path)
         if node is None:
-            node = {"children": [], "def": None, "dtype": None}
+            node = {"children": [], "def": None, "edef": None, "dtype": None}
             by_name[path] = node
             if "." in path:
                 parent, field = path.rsplit(".", 1)
@@ -180,18 +227,19 @@ def _unflatten_tree(ordered: list[tuple[str, str]]):
         return node
 
     for name, dtype in ordered:
-        if name.endswith(STRUCT_DEF_SUFFIX):
+        if name.endswith(LIST_STRUCT_DEF_SUFFIX):
+            get_node(name[: -len(LIST_STRUCT_DEF_SUFFIX)])["edef"] = name
+        elif name.endswith(STRUCT_DEF_SUFFIX):
             get_node(name[: -len(STRUCT_DEF_SUFFIX)])["def"] = name
         else:
             get_node(name)["dtype"] = dtype
 
     def finish(path: str, node: dict):
         if node["children"]:
-            return (
-                "struct",
-                node["def"],
-                [(f, finish(f"{path}.{f}", ch)) for f, ch in node["children"]],
-            )
+            fields = [(f, finish(f"{path}.{f}", ch)) for f, ch in node["children"]]
+            if node["edef"] is not None:
+                return ("liststruct", node["edef"], fields)
+            return ("struct", node["def"], fields)
         if node["dtype"] is None:
             raise ValueError(f"column {path} has a @def chunk but no leaves")
         return ("leaf", path, node["dtype"])
@@ -199,11 +247,56 @@ def _unflatten_tree(ordered: list[tuple[str, str]]):
     return [(name, finish(name, node)) for name, node in roots]
 
 
-def _node_spark_type(node) -> T.DataType:
+def _has_liststruct(node) -> bool:
     if node[0] == "leaf":
-        return spark_type_of(node[2])
+        return False
+    return node[0] == "liststruct" or any(
+        _has_liststruct(ch) for _, ch in node[2]
+    )
+
+
+def _rebuild_expr(node, colref):
+    """Spark Column expression rebuilding a (list)struct tree from its
+    decoded flat leaf columns — pure JVM (struct/when/arrays_zip/
+    transform), no Python in the rebuild."""
+    kind = node[0]
+    if kind == "leaf":
+        return colref(node[1])
+    if kind == "struct":
+        children = [
+            _rebuild_expr(ch, colref).alias(f) for f, ch in node[2]
+        ]
+        st = F.struct(*children)
+        return F.when(colref(node[1]), st) if node[1] else st
+    # liststruct: zip every flat list leaf + every @edef of the subtree
+    # (they all share the array shape by construction), then build each
+    # element from the zipped struct
+    flats: list[str] = _node_flat_names(node)
+    tok = {f: f"z{i}" for i, f in enumerate(flats)}
+    zipped = F.arrays_zip(*[colref(f).alias(tok[f]) for f in flats])
+
+    def elem(nd, x):
+        if nd[0] == "leaf":
+            return x[tok[nd[1]]]
+        children = [elem(ch, x).alias(f) for f, ch in nd[2]]
+        return F.when(x[tok[nd[1]]], F.struct(*children))
+
+    return F.transform(zipped, lambda x: elem(node, x))
+
+
+def _node_spark_type(node, in_array: bool = False) -> T.DataType:
+    if node[0] == "leaf":
+        t = spark_type_of(node[2])
+        # inside a repeated group, leaf chunks are list_<elem>; the
+        # rebuilt element field has the element type
+        return t.elementType if in_array and isinstance(t, T.ArrayType) else t
+    if node[0] == "liststruct":
+        st = T.StructType(
+            [T.StructField(f, _node_spark_type(ch, True), True) for f, ch in node[2]]
+        )
+        return st if in_array else T.ArrayType(st, containsNull=True)
     return T.StructType(
-        [T.StructField(f, _node_spark_type(ch), True) for f, ch in node[2]]
+        [T.StructField(f, _node_spark_type(ch, in_array), True) for f, ch in node[2]]
     )
 
 
@@ -535,9 +628,6 @@ def decode_table(blob_df: DataFrame, columns: list[str] | None = None) -> DataFr
     if missing:
         raise ValueError(f"no chunks for columns: {missing}")
     nodes = {c: tree[c] for c in columns}
-    out_schema = T.StructType(
-        [T.StructField(c, _node_spark_type(nodes[c])) for c in columns]
-    )
     flat_names: list[str] = []
     for c in columns:
         flat_names.extend(_node_flat_names(nodes[c]))
@@ -549,7 +639,28 @@ def decode_table(blob_df: DataFrame, columns: list[str] | None = None) -> DataFr
             pa_types[name] = pa.bool_()
         else:
             pa_types[name] = _pa_type_of(dt)
-    want = list(columns)
+
+    # columns containing a repeated group are emitted as their flat list
+    # leaves by the arrow stage and rebuilt by a JVM expression (see
+    # _rebuild_expr) — structs without repetition assemble arrow-side
+    plan: list[tuple[str, str, list[str] | None]] = []
+    inner_fields: list[T.StructField] = []
+    for c in columns:
+        if _has_liststruct(nodes[c]):
+            fl = _node_flat_names(nodes[c])
+            plan.append(("flats", c, fl))
+            for name in fl:
+                ft = (
+                    T.BooleanType()
+                    if name.endswith(STRUCT_DEF_SUFFIX)
+                    else spark_type_of(flat_dtypes[name])
+                )
+                inner_fields.append(T.StructField(name, ft))
+        else:
+            plan.append(("node", c, None))
+            inner_fields.append(T.StructField(c, _node_spark_type(nodes[c])))
+    inner_schema = T.StructType(inner_fields)
+    out_names = [f.name for f in inner_fields]
 
     def assemble(group: pa.Table) -> pa.Table:
         names = group.column("column").to_pylist()
@@ -564,15 +675,36 @@ def decode_table(blob_df: DataFrame, columns: list[str] | None = None) -> DataFr
                 f"row group missing column chunks: {absent} "
                 "(partial manifest? decode from a complete blob table)"
             )
-        arrays = [_assemble_node(nodes[c], decoded, pa_types) for c in want]
-        return pa.Table.from_arrays(arrays, names=want)
+        arrays = []
+        for kind, c, fl in plan:
+            if kind == "node":
+                arrays.append(_assemble_node(nodes[c], decoded, pa_types))
+            else:
+                for name in fl:
+                    a = decoded[name]
+                    want_t = pa_types[name]
+                    arrays.append(a.cast(want_t) if a.type != want_t else a)
+        return pa.Table.from_arrays(arrays, names=out_names)
 
     pruned = blob_df.where(F.col("column").isin(flat_names)).select(
         "part_id", "chunk_seq", "column", "data"
     )
-    return pruned.groupBy("part_id", "chunk_seq").applyInArrow(
-        assemble, schema=out_schema
+    decoded_df = pruned.groupBy("part_id", "chunk_seq").applyInArrow(
+        assemble, schema=inner_schema
     )
+    if all(kind == "node" for kind, _, _ in plan):
+        return decoded_df
+
+    def colref(name: str):
+        return F.col(f"`{name}`")
+
+    exprs = []
+    for kind, c, _ in plan:
+        if kind == "node":
+            exprs.append(F.col(f"`{c}`"))
+        else:
+            exprs.append(_rebuild_expr(nodes[c], colref).alias(c))
+    return decoded_df.select(*exprs)
 
 
 def roundtrip_table(

@@ -137,3 +137,35 @@ def test_fruits_full_table_verify(fruits):
     blobs = pipeline.encode_columns(df)
     bad = pipeline.verify_blobs(blobs).where(~F.col("ok")).count()
     assert bad == 0
+
+
+def test_fruits_true_nested_schema_roundtrip(spark):
+    """The reference's ACTUAL nested integration schema
+    (/root/reference/test/integration.js:12-32): `stock` is a repeated
+    group {quantity, warehouse} and `colour` a repeated UTF8 — now
+    expressible directly instead of the flattened stand-ins above.
+    (The reference's inner `quantity: repeated INT64` is scalar here:
+    repeated-inside-repeated is rLevelMax>1, documented unsupported.)"""
+    from pyspark.sql import Row
+
+    base = [
+        Row(name="apples", quantity=10, price=2.6, colour=["green", "red"],
+            stock=[Row(quantity=10, warehouse="A"), Row(quantity=20, warehouse="B")],
+            meta_json=None),
+        Row(name="oranges", quantity=20, price=2.7, colour=["orange"],
+            stock=[Row(quantity=50, warehouse="X"), Row(quantity=33, warehouse="Y")],
+            meta_json=None),
+        Row(name="kiwi", quantity=None, price=4.2, colour=["green", "brown"],
+            stock=[Row(quantity=42, warehouse="f")],
+            meta_json='{"expected_ship_date": 1700000000}'),
+        Row(name="banana", quantity=None, price=3.2, colour=["yellow"],
+            stock=None, meta_json='{"shape": "curved"}'),
+    ]
+    schema = (
+        "name string, quantity long, price double, colour array<string>, "
+        "stock array<struct<quantity: long, warehouse: string>>, meta_json string"
+    )
+    df = spark.createDataFrame(base * 250, schema).repartition(4)
+    out = pipeline.roundtrip_table(df, chunk_rows=128)
+    assert out.schema == df.schema
+    assert sorted(map(repr, out.collect())) == sorted(map(repr, df.collect()))

@@ -57,10 +57,15 @@ def test_list_element_codec_selected():
     assert stats["codec"] in ("RLE", "DICT_RLE", "FOR_BITPACK")
 
 
-def test_list_null_elements_rejected():
-    arr = pa.array([[1, None, 3]], type=pa.list_(pa.int64()))
-    with pytest.raises(NotImplementedError):
-        arrow_chunk.encode_arrow_column(arr, "list_int64")
+def test_list_null_elements_roundtrip():
+    """Element-level nulls (inner definition level) — supported since the
+    list wire gained an element-validity section."""
+    arr = pa.array([[1, None, 3], [], None, [None]], type=pa.list_(pa.int64()))
+    blob, stats = arrow_chunk.encode_arrow_column(arr, "list_int64")
+    out, dtype = arrow_chunk.decode_arrow_column(blob)
+    assert dtype == "list_int64"
+    assert out.to_pylist() == arr.to_pylist()
+    assert arrow_chunk.verify_arrow(blob, stats["sha256"])
 
 
 def test_list_pandas_path_delegates():

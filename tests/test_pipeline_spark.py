@@ -184,11 +184,63 @@ def test_struct_leaf_decode_and_projection(spark):
         blobs.unpersist()
 
 
-def test_array_of_struct_rejected(spark):
+def test_repeated_group_roundtrip(spark):
+    """array<struct> — the reference's repeated groups
+    (lib/schema.js:102-120 with repeated=true; the integration corpus'
+    `stock` field, test/integration.js:21-26): shredded to parallel list
+    leaves + an @edef element-validity chunk, rebuilt by a JVM
+    arrays_zip/transform expression."""
     from pyspark.sql import Row
 
-    df = spark.createDataFrame([Row(id=1, xs=[Row(a=1)])])
-    with pytest.raises(Exception, match="array<struct>"):
+    rows = [
+        Row(name="apples", stock=[Row(quantity=10, warehouse="A"),
+                                  Row(quantity=20, warehouse="B")]),
+        Row(name="oranges", stock=[Row(quantity=50, warehouse="X")]),
+        Row(name="kiwi", stock=[]),
+        Row(name="banana", stock=None),
+        Row(name="plum", stock=[None, Row(quantity=None, warehouse="Z")]),
+    ] * 30
+    schema = "name string, stock array<struct<quantity: long, warehouse: string>>"
+    df = spark.createDataFrame(rows, schema)
+    out = pipeline.roundtrip_table(df, chunk_rows=32)
+    assert out.schema == df.schema
+    assert sorted(map(repr, out.collect())) == sorted(map(repr, df.collect()))
+
+
+def test_repeated_group_nested_struct(spark):
+    from pyspark.sql import Row
+
+    rows = [
+        Row(id=1, xs=[Row(a=1, inner=Row(z="p")), Row(a=2, inner=None)]),
+        Row(id=2, xs=None),
+        Row(id=3, xs=[None]),
+    ] * 20
+    df = spark.createDataFrame(
+        rows, "id long, xs array<struct<a: long, inner: struct<z: string>>>"
+    )
+    out = pipeline.roundtrip_table(df, chunk_rows=16)
+    assert out.schema == df.schema
+    assert sorted(map(repr, out.collect())) == sorted(map(repr, df.collect()))
+
+
+def test_list_element_nulls_roundtrip(spark):
+    """Element-level nulls in plain repeated fields (inner definition
+    level) — previously rejected."""
+    from pyspark.sql import Row
+
+    rows = [Row(xs=[1, None, 3]), Row(xs=[]), Row(xs=None), Row(xs=[None])] * 25
+    df = spark.createDataFrame(rows, "xs array<long>")
+    out = pipeline.roundtrip_column(df, "xs", chunk_rows=16)
+    assert sorted(map(repr, out.collect())) == sorted(map(repr, df.collect()))
+
+
+def test_nested_repeated_rejected(spark):
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [Row(id=1, xs=[Row(a=[1, 2])])], "id long, xs array<struct<a: array<long>>>"
+    )
+    with pytest.raises(Exception, match="nested repeated"):
         pipeline.encode_columns(df).collect()
 
 
