@@ -210,6 +210,36 @@ def q_media_features(spark, sf_dir):
     )
 
 
+def _lang_id_oracle() -> str:
+    """DuckDB equivalent of text.language_id, generated from the same
+    profile dict: per-profile stopword hits, argmax with
+    strictly-more-wins + earlier-profile tie-break."""
+    from .text import _LANG_PROFILES
+
+    langs = list(_LANG_PROFILES)
+    hit_cols = ", ".join(
+        "COALESCE(len(list_intersect(toks, ["
+        + ", ".join(f"'{w}'" for w in sorted(prof))
+        + f"])), 0) AS {lang}"
+        for lang, prof in _LANG_PROFILES.items()
+    )
+    cases = []
+    for i, lang in enumerate(langs):
+        conds = [f"{lang} > 0"] + [
+            f"{lang} >= {other}" for other in langs[i + 1 :]
+        ] + [f"{lang} > {other}" for other in langs[:i]]
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return (
+        "WITH t AS (SELECT doc_id, list_distinct(list_filter("
+        "string_split_regex(COALESCE(text, ''), '\\s+'), x -> x != '')) AS toks "
+        "FROM documents), h AS (SELECT doc_id, "
+        + hit_cols
+        + " FROM t) SELECT doc_id, CASE "
+        + " ".join(cases)
+        + " ELSE 'unknown' END AS pred_lang FROM h"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_token_counts": q_doc_token_counts,
@@ -250,7 +280,8 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
         "doc_fingerprints": "SELECT doc_id, md5(text) AS fp FROM documents",
-        # doc_lang_id / doc_rolling_fp: heuristic + custom hash -> rows-only
+        "doc_lang_id": _lang_id_oracle(),
+        # doc_rolling_fp: custom xxhash64 rolling hash -> rows-only
         "exact_dup_groups": (
             "SELECT text, COUNT(*) AS dup_count FROM documents "
             "GROUP BY text HAVING COUNT(*) > 1"

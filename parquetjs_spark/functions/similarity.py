@@ -110,17 +110,24 @@ def lsh_topk_for_id(
     query_id: int = 0,
     k: int = 10,
     n_planes: int = 8,
+    probes: int | None = None,
 ) -> DataFrame:
-    """ANN: restrict to the query's LSH bucket, then exact re-rank.
-    At scale the bucket filter prunes ~2^-n_planes of the table before
-    any exact math."""
+    """ANN: restrict to the query's LSH bucket plus its ``probes``
+    nearest buckets (multi-probe: flip one hyperplane bit each —
+    a vector near a hyperplane lands on either side, so Hamming-1
+    buckets hold most of the lost neighbors), then exact re-rank.
+    At scale the bucket filter prunes ~(1+probes)/2^n_planes of the
+    table before any exact math; probes trades recall for candidates
+    without re-hashing (default: all n_planes Hamming-1 buckets)."""
     sigs = lsh_signatures(embeddings, n_planes)
     qrow = sigs.where(F.col("vec_id") == query_id).head()
     if qrow is None:
         raise ValueError(f"vec_id {query_id} not found")
     bucket = qrow["bucket"]
+    n_probe = n_planes if probes is None else min(probes, n_planes)
+    probe_buckets = [bucket] + [bucket ^ (1 << i) for i in range(n_probe)]
     cand_ids = sigs.where(
-        (F.col("bucket") == bucket) & (F.col("vec_id") != query_id)
+        F.col("bucket").isin(probe_buckets) & (F.col("vec_id") != query_id)
     ).select("vec_id")
     cands = embeddings.join(F.broadcast(cand_ids), "vec_id")
     return topk_for_id(cands.unionByName(

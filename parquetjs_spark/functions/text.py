@@ -54,62 +54,82 @@ _LANG_PROFILES = {
 }
 
 
-def _lang_of_batch(texts: pd.Series) -> pd.Series:
-    """Stopword-profile argmax; deterministic tie-break by profile order."""
-    out = []
-    profiles = list(_LANG_PROFILES.items())
-    for t in texts:
-        words = set((t or "").split())
-        best, best_hits = "unknown", 0
-        for lang, prof in profiles:
-            hits = len(words & prof)
-            if hits > best_hits:
-                best, best_hits = lang, hits
-        out.append(best)
-    return pd.Series(out)
-
-
 def language_id(docs: DataFrame) -> DataFrame:
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("pred_lang", T.StringType()),
-        ]
+    """Stopword-profile argmax, pure JVM: per-profile hit counts via
+    array_intersect over distinct tokens, argmax via greatest() on
+    (hits, -profile_order, lang) structs — lexicographic struct
+    comparison gives strictly-more-hits-wins with earlier-profile
+    tie-break, same contract as the old batched-UDF version but inside
+    whole-stage codegen."""
+    toks = F.array_distinct(
+        F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != F.lit(""))
     )
-
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"], "pred_lang": _lang_of_batch(pdf["text"])}
-            )
-
-    return docs.select("doc_id", "text").mapInPandas(fn, schema=schema)
+    cands = [
+        F.struct(
+            F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in sorted(prof)])))
+            .alias("hits"),
+            F.lit(-i).alias("ord"),
+            F.lit(lang).alias("lang"),
+        )
+        for i, (lang, prof) in enumerate(_LANG_PROFILES.items())
+    ]
+    best = F.greatest(*cands)
+    pred = F.when(best.getField("hits") > 0, best.getField("lang")).otherwise(
+        F.lit("unknown")
+    )
+    return docs.select("doc_id", pred.alias("pred_lang"))
 
 
 def rolling_fingerprint(docs: DataFrame, window: int = 8) -> DataFrame:
-    """Document fingerprint via polynomial rolling hash over tokens
-    (vectorized NumPy), 64-bit — the content-defined signature used for
-    shift-resistant near-dup bucketing."""
+    """Document fingerprint via polynomial rolling hash over token
+    hashes, 64-bit — the content-defined signature used for
+    shift-resistant near-dup bucketing.
+
+    Token hashing is JVM xxhash64 (codegen); the polynomial combine is
+    one vectorized pass over the batch's concatenated hash array with a
+    segmented ``add.reduceat`` — no per-doc Python loops."""
     schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
             T.StructField("rfp", T.LongType()),
         ]
     )
+    words = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != F.lit(""))
+    hashed = docs.select(
+        "doc_id",
+        F.coalesce(
+            F.transform(words, lambda w: F.xxhash64(w)),
+            F.array().cast("array<long>"),
+        ).alias("th"),
+    )
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         base = np.uint64(1099511628211)
         for pdf in batches:
-            fps = []
-            for t in pdf["text"]:
-                h = np.frombuffer(
-                    (t or "").encode("utf-8"), dtype=np.uint8
-                ).astype(np.uint64)
-                if len(h) == 0:
-                    fps.append(0)
-                    continue
-                powers = base ** (np.arange(len(h), dtype=np.uint64) % np.uint64(61))
-                fps.append(int((h * powers).sum(dtype=np.uint64).view(np.int64)))
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "rfp": fps})
+            arrs = pdf["th"].to_numpy()
+            ndocs = len(arrs)
+            fps = np.zeros(ndocs, dtype=np.uint64)
+            if ndocs:
+                lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=ndocs)
+                nz = np.flatnonzero(lens)
+                if nz.size:
+                    lens_nz = lens[nz]
+                    all_u = np.concatenate(
+                        [arrs[i] for i in nz]
+                    ).astype(np.int64).view(np.uint64)
+                    starts = np.zeros(nz.size, dtype=np.int64)
+                    if nz.size > 1:
+                        np.cumsum(lens_nz[:-1], out=starts[1:])
+                    # per-token position within its doc, then one powers
+                    # table lookup (exponents cycle mod 61)
+                    pos = np.arange(len(all_u), dtype=np.int64) - np.repeat(
+                        starts, lens_nz
+                    )
+                    powers = base ** np.arange(61, dtype=np.uint64)
+                    vals = all_u * powers[pos % 61]
+                    fps[nz] = np.add.reduceat(vals, starts)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "rfp": fps.view(np.int64)}
+            )
 
-    return docs.select("doc_id", "text").mapInPandas(fn, schema=schema)
+    return hashed.mapInPandas(fn, schema=schema)
