@@ -19,7 +19,6 @@ Citations: same operator semantics as chunk.py
 from __future__ import annotations
 
 import hashlib
-import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -302,9 +301,9 @@ def _select_string_codec(block: StrBlock, fsst_state: dict | None) -> tuple[str,
                 table = fsst.train(concat)
                 if fsst_state is not None:
                     fsst_state["table"] = table
-            plain_z = len(zlib.compress(concat, 6)) / len(concat)
+            plain_z = comp.size_estimate(concat) / len(concat)
             payload = fsst.compress(concat, table)
-            fsst_z = min(len(payload), len(zlib.compress(payload, 6))) / len(concat)
+            fsst_z = min(len(payload), comp.size_estimate(payload)) / len(concat)
             cands[PLAIN] = int(plain_z * total) + n
             cands[FSST] = int(fsst_z * total) + 2 * len(table) + n + 16
             if cands[FSST] > 0.9 * cands[PLAIN]:
@@ -677,11 +676,7 @@ def _assemble_blob(
     sha, sel_info,
 ) -> tuple[bytes, dict]:
     if compression == "auto":
-        z = zlib.compress(values_raw, 6)
-        if len(z) < 0.97 * len(values_raw) - 16:
-            compression, values_comp = comp.ZLIB, z
-        else:
-            compression, values_comp = comp.UNCOMPRESSED, values_raw
+        compression, values_comp = comp.auto_compress(values_raw)
     else:
         values_comp = comp.compress(compression, values_raw)
 

