@@ -192,11 +192,18 @@ def minhash_dedup_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.7,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Full MinHash pipeline: signatures -> LSH candidates -> verify by
-    signature agreement >= threshold (estimate of Jaccard)."""
+    signature agreement >= threshold (estimate of Jaccard).
+
+    Scale note: the signature DataFrame is referenced three times
+    (banding + the two verify joins); pass a persisted ``sigs`` at
+    cluster scale to avoid recomputing the text scan per reference —
+    e.g. ``sigs = minhash_signatures(docs).persist()``."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(docs, num_hashes)
+    if sigs is None:
+        sigs = minhash_signatures(docs, num_hashes)
     cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
     sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))

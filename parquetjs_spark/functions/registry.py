@@ -31,6 +31,12 @@ def q_doc_quality(spark, sf_dir):
     return text.quality_metrics(_docs(spark, sf_dir))
 
 
+def q_doc_token_counts_bpe(spark, sf_dir):
+    from . import text
+
+    return text.token_counts_bpe(_docs(spark, sf_dir))
+
+
 def q_doc_fingerprints(spark, sf_dir):
     from . import text
 
@@ -160,6 +166,12 @@ def q_emb_lsh_topk_vec0(spark, sf_dir):
     return similarity.lsh_topk_for_id(_embs(spark, sf_dir), query_id=0, k=5)
 
 
+def q_emb_ivf_topk_vec0(spark, sf_dir):
+    from . import similarity
+
+    return similarity.ivf_topk_for_id(_embs(spark, sf_dir), query_id=0, k=5)
+
+
 def q_emb_near_dup_topk_candidates(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -192,6 +204,27 @@ def q_media_metadata(spark, sf_dir):
     from . import multimodal
 
     return multimodal.extract_metadata(multimodal.as_media_table(_docs(spark, sf_dir)))
+
+
+def q_media_resize(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from . import multimodal
+
+    out = multimodal.resize_images(multimodal.as_media_table(_docs(spark, sf_dir)))
+    # hashable scalar projection (payload md5 + dims)
+    return out.select(
+        "doc_id", F.md5("payload").alias("pixels_md5"), "width", "height"
+    )
+
+
+def q_media_frame_sample(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from . import multimodal
+
+    out = multimodal.sample_frames(multimodal.as_media_table(_docs(spark, sf_dir)))
+    return out.select("doc_id", "frame_idx", F.md5("frame").alias("frame_md5"))
 
 
 def q_media_features(spark, sf_dir):
@@ -243,6 +276,7 @@ def _lang_id_oracle() -> str:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_token_counts": q_doc_token_counts,
+        "doc_token_counts_bpe": q_doc_token_counts_bpe,
         "doc_quality": q_doc_quality,
         "doc_fingerprints": q_doc_fingerprints,
         "doc_lang_id": q_doc_lang_id,
@@ -259,9 +293,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_label_counts": q_emb_label_counts,
         "emb_topk_vec0": q_emb_topk_vec0,
         "emb_lsh_topk_vec0": q_emb_lsh_topk_vec0,
+        "emb_ivf_topk_vec0": q_emb_ivf_topk_vec0,
         "emb_near_dup_topk_candidates": q_emb_near_dup_topk_candidates,
         "emb_near_dup_pairs": q_emb_near_dup_pairs,
         "media_metadata": q_media_metadata,
+        "media_resize": q_media_resize,
+        "media_frame_sample": q_media_frame_sample,
         "media_features": q_media_features,
     }
 
@@ -280,6 +317,10 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
         "doc_fingerprints": "SELECT doc_id, md5(text) AS fp FROM documents",
+        "doc_token_counts_bpe": (
+            "SELECT doc_id, CAST(len(regexp_extract_all(text, "
+            r"'\w+|[^\w\s]')) AS BIGINT) AS n_bpe_tokens FROM documents"
+        ),
         "doc_lang_id": _lang_id_oracle(),
         # doc_rolling_fp: custom xxhash64 rolling hash -> rows-only
         "exact_dup_groups": (

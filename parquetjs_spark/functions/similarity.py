@@ -135,6 +135,71 @@ def lsh_topk_for_id(
     ), query_id, k)
 
 
+def ivf_assign(
+    embeddings: DataFrame, n_centroids: int = 16, seed: int = 42
+) -> tuple[DataFrame, np.ndarray]:
+    """IVF coarse quantizer: deterministic centroids (seeded Gaussian,
+    normalized — no iterative k-means: resume-safe and parallelism-
+    independent, like the LSH hyperplanes), assignment = argmax cosine,
+    one narrow vectorized map.  Returns (assigned_df, centroids).
+
+    Scale shape: centroids are a tiny closure-shipped array; assignment
+    is shuffle-free; the inverted lists materialize as a `cell` column
+    that downstream queries filter on (partition/Z-order by cell at the
+    storage layer and the probe prunes file scans too)."""
+    dim_row = embeddings.select(F.size("embedding").alias("d")).head()
+    if dim_row is None:
+        raise ValueError("empty embeddings table")
+    dim = dim_row["d"]
+    rng = np.random.default_rng(seed)
+    cents = rng.standard_normal((n_centroids, dim))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("cell", T.IntegerType()),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            norms[norms == 0] = 1e-12
+            cell = ((mat / norms) @ cents.T).argmax(axis=1).astype(np.int32)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "cell": cell})
+
+    return (
+        embeddings.select("vec_id", "embedding").mapInPandas(fn, schema=schema),
+        cents,
+    )
+
+
+def ivf_topk_for_id(
+    embeddings: DataFrame,
+    query_id: int = 0,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF-flat ANN: restrict to the query's ``n_probe`` nearest
+    centroid cells, then exact cosine re-rank — the scale path when the
+    table is cell-partitioned (probe prunes ~n_probe/n_centroids of the
+    data before any exact math)."""
+    assigned, cents = ivf_assign(embeddings, n_centroids)
+    qrow = embeddings.where(F.col("vec_id") == query_id).select("embedding").head()
+    if qrow is None:
+        raise ValueError(f"vec_id {query_id} not found")
+    q = np.asarray(qrow[0], dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    probe = np.argsort(-(cents @ qn))[:n_probe].tolist()
+    cand_ids = assigned.where(
+        F.col("cell").isin([int(c) for c in probe]) & (F.col("vec_id") != query_id)
+    ).select("vec_id")
+    cands = embeddings.join(F.broadcast(cand_ids), "vec_id")
+    return brute_force_topk(cands, q, k)
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     n_planes: int = 12,

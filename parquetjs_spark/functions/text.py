@@ -39,6 +39,17 @@ def quality_metrics(docs: DataFrame) -> DataFrame:
     )
 
 
+def token_counts_bpe(docs: DataFrame) -> DataFrame:
+    """BPE-ish pre-tokenizer count (GPT-2-style word/punct split): runs
+    of word chars or single non-space punctuation — the token-budget
+    estimate a training pipeline uses before real BPE.  Pure JVM regex
+    (regexp_extract_all), oracle-reproducible."""
+    toks = F.regexp_extract_all(F.col("text"), F.lit(r"\w+|[^\w\s]"), 0)
+    return docs.select(
+        "doc_id", F.size(toks).cast("long").alias("n_bpe_tokens")
+    )
+
+
 def fingerprints(docs: DataFrame) -> DataFrame:
     """Content fingerprint (md5) per document — exact-dup key."""
     return docs.select("doc_id", F.md5(F.col("text")).alias("fp"))

@@ -112,3 +112,37 @@ def test_embedding_near_dup_cap(spark):
     assert capped.count() == 0
     full = similarity.embedding_near_dup_pairs(df, max_bucket_size=4096)
     assert full.count() == 50 * 49 // 2  # identical vectors: all pairs score 1.0
+
+
+def test_ivf_topk_matches_brute_force_with_full_probe(spark):
+    """Probing every IVF cell must reproduce exact brute-force top-k."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    rows = [(i, rng.standard_normal(16).astype("float32").tolist(), 0) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    exact = [r["vec_id"] for r in similarity.topk_for_id(df, 0, 5).collect()]
+    full = [r["vec_id"] for r in
+            similarity.ivf_topk_for_id(df, 0, 5, n_centroids=8, n_probe=8).collect()]
+    assert full == exact
+    # partial probe returns a subset-quality result with the right shape
+    part = similarity.ivf_topk_for_id(df, 0, 5, n_centroids=8, n_probe=2)
+    assert part.count() <= 5 and part.columns == ["vec_id", "score_u"]
+
+
+def test_media_resize_and_frame_sample_shapes(spark):
+    from parquetjs_spark.functions import multimodal
+
+    docs = spark.createDataFrame(
+        [(i, "payload text %d " % i * 50) for i in range(20)], "doc_id long, text string"
+    )
+    media = multimodal.as_media_table(docs)
+    r = multimodal.resize_images(media, width=8, height=8)
+    rows = r.collect()
+    assert len(rows) == 20
+    assert all(len(bytes(x["payload"])) == 64 for x in rows)
+    f = multimodal.sample_frames(media, n_frames=3, frame_bytes=32)
+    frows = f.collect()
+    assert len(frows) == 60
+    assert all(len(bytes(x["frame"])) == 32 for x in frows)
+    assert {x["frame_idx"] for x in frows} == {0, 1, 2}
