@@ -149,3 +149,97 @@ def test_dictionary_roundtrip_bytes(values):
     buf = dictionary.encode(values, "BYTE_ARRAY")
     out = dictionary.decode(memoryview(buf), len(values), "BYTE_ARRAY")
     assert list(out) == values
+
+
+# --- round-2 features: element nulls, decimal, arrow chunk ------------------
+
+
+@FAST
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.lists(
+                st.one_of(st.none(), st.integers(-(2**31), 2**31 - 1)),
+                max_size=10,
+            ),
+        ),
+        min_size=0,
+        max_size=60,
+    )
+)
+def test_list_with_element_nulls_roundtrip(values):
+    import pyarrow as pa
+
+    from parquetjs_spark import arrow_chunk
+
+    arr = pa.array(values, type=pa.list_(pa.int64()))
+    blob, stats = arrow_chunk.encode_arrow_column(arr, "list_int64")
+    out, dtype = arrow_chunk.decode_arrow_column(blob)
+    assert dtype == "list_int64"
+    assert out.to_pylist() == values
+    assert arrow_chunk.verify_arrow(blob, stats["sha256"])
+
+
+@FAST
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.lists(st.one_of(st.none(), st.text(max_size=12)), max_size=8),
+        ),
+        min_size=0,
+        max_size=50,
+    )
+)
+def test_list_string_element_nulls_roundtrip(values):
+    import pyarrow as pa
+
+    from parquetjs_spark import arrow_chunk
+
+    arr = pa.array(values, type=pa.list_(pa.string()))
+    blob, stats = arrow_chunk.encode_arrow_column(arr, "list_string")
+    out, dtype = arrow_chunk.decode_arrow_column(blob)
+    assert out.to_pylist() == values
+    assert arrow_chunk.verify_arrow(blob, stats["sha256"])
+
+
+@FAST
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.decimals(
+                min_value="-9999999999.99",
+                max_value="9999999999.99",
+                places=2,
+                allow_nan=False,
+                allow_infinity=False,
+            ),
+        ),
+        min_size=0,
+        max_size=100,
+    )
+)
+def test_decimal_chunk_roundtrip(values):
+    s = pd.Series(values, dtype=object)
+    blob, stats = chunklib.encode_chunk(s, "decimal(12,2)")
+    out, dtype = chunklib.decode_chunk(blob)
+    assert dtype == "decimal(12,2)"
+    got = [None if v is None else v for v in out.tolist()]
+    assert got == values
+    assert chunklib.verify_chunk(blob, stats["sha256"])
+
+
+@FAST
+@given(st.lists(st.one_of(st.none(), st.binary(min_size=8, max_size=8)),
+                min_size=0, max_size=120))
+def test_flba_chunk_roundtrip(values):
+    from parquetjs_spark.codecs import FLBA
+
+    s = pd.Series(values, dtype=object)
+    blob, stats = chunklib.encode_chunk(s, "binary", codec=FLBA)
+    out, dtype = chunklib.decode_chunk(blob)
+    got = [None if v is None else bytes(v) for v in out.tolist()]
+    assert got == values
+    assert chunklib.verify_chunk(blob, stats["sha256"])
