@@ -91,11 +91,25 @@ def cmd_encode(args) -> int:
 
 
 def cmd_decode(args) -> int:
+    from pyspark.sql import functions as F
+
     from parquetjs_spark import pipeline
 
     spark = _spark(args)
     blobs = pipeline.read_encoded(spark, args.input)
-    out = pipeline.decode_column(blobs, args.column)
+    # dtype from the manifest (pure-metadata scan) instead of
+    # decode_column's limit(1) probe over the blob table
+    drow = (
+        pipeline.read_manifest(spark, args.input)
+        .where(F.col("column") == args.column)
+        .select("dtype")
+        .limit(1)
+        .collect()
+    )
+    if not drow:
+        print(f"error: no chunks for column {args.column}", file=sys.stderr)
+        return 2
+    out = pipeline.decode_column(blobs, args.column, dtype=drow[0]["dtype"])
     out.write.mode("overwrite").parquet(args.output)
     print(json.dumps({"rows": spark.read.parquet(args.output).count()}))
     return 0
