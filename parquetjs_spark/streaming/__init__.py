@@ -1,1 +1,2 @@
+from .decode_stream import decode_stream  # noqa: F401
 from .encode_stream import encode_stream  # noqa: F401

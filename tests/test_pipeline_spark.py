@@ -326,3 +326,27 @@ def test_nullable_column_roundtrip(spark):
     pdf = pd.DataFrame({"v": ["a", None, "b", None, "c"] * 50})
     df = spark.createDataFrame(pdf)
     assert_column_roundtrip(spark, df, "v")
+
+
+def test_salted_repartition_bounds_skew(spark):
+    """A 90%-skewed key must spread over ~salt_buckets partitions, not
+    one — the giant-repo defuse (north rule)."""
+    from pyspark.sql import Row
+
+    rows = [Row(repo="megarepo", path="p%d" % i, content="x" * 50)
+            for i in range(900)]
+    rows += [Row(repo="tiny%d" % i, path="q", content="y") for i in range(100)]
+    df = spark.createDataFrame(rows)
+    out = pipeline.salted_repartition(df, "repo", 16, salt_buckets=8)
+    mega_parts = (
+        out.where(F.col("repo") == "megarepo")
+        .withColumn("p", F.spark_partition_id())
+        .groupBy("p")
+        .count()
+        .collect()
+    )
+    # without salting all 900 megarepo rows land in ONE partition;
+    # salted they must spread over several, none holding a majority
+    # (salt buckets can collide partitions, so bound loosely)
+    assert len(mega_parts) >= 4
+    assert max(r["count"] for r in mega_parts) < 600

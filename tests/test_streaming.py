@@ -38,3 +38,37 @@ def test_stream_encode_roundtrip(tmp_path, spark):
     assert sorted(r[0] for r in vals.collect()) == sorted(
         r[0] for r in df.select("props").collect()
     )
+
+
+def test_stream_decode_follows_encode(tmp_path, spark):
+    """encode_stream -> decode_stream pipe: chunks appended by the
+    encode stream are decoded exactly once to value rows."""
+    from parquetjs_spark.streaming import decode_stream
+
+    src_dir = tmp_path / "in2"
+    enc_dir = tmp_path / "enc2"
+    dec_dir = tmp_path / "dec2"
+    df = load_table(spark, SF, "documents").select("doc_id", "text")
+    df.write.parquet(str(src_dir))
+
+    stream = spark.readStream.schema(df.schema).parquet(str(src_dir))
+    q1 = encode_stream(
+        stream, str(enc_dir), str(tmp_path / "ck_e"), chunk_rows=128,
+        trigger_once=True,
+    )
+    q1.awaitTermination(120)
+    q2 = decode_stream(
+        spark, str(enc_dir), str(dec_dir), str(tmp_path / "ck_d"),
+        column="text", dtype="string", trigger_once=True,
+    )
+    q2.awaitTermination(120)
+    got = sorted(r[0] for r in spark.read.parquet(str(dec_dir)).collect())
+    want = sorted(r[0] for r in df.select("text").collect())
+    assert got == want
+    # restart with the same checkpoint: no new files -> no duplicates
+    q3 = decode_stream(
+        spark, str(enc_dir), str(dec_dir), str(tmp_path / "ck_d"),
+        column="text", dtype="string", trigger_once=True,
+    )
+    q3.awaitTermination(120)
+    assert spark.read.parquet(str(dec_dir)).count() == len(want)
