@@ -149,10 +149,13 @@ def compress(data: bytes, symbols: list[bytes], block: int = PARSE_BLOCK) -> byt
        passes over the segment).
     2. Parse-driven lockstep match: one cursor per block, all advanced
        simultaneously. At the visited positions only, the longest fitting
-       symbol is found via direct 256/65536-entry tables (lengths 1-2)
-       and per-length ``searchsorted`` gated by a 2-byte-prefix length
-       mask (lengths 3-8). "Fits" means the match stays inside the
-       cursor's block, so greedy choices are position-local.
+       symbol comes from ONE searchsorted over the zero-padded sorted
+       symbol table: the predecessor's common-prefix length with the
+       window bounds exactly which of its prefix-symbols match (see
+       _build_luts proof), so a prefix bitmask + highest-set-bit LUT
+       replaces the per-length table cascade. "Fits" means the match
+       stays inside the cursor's block, so greedy choices are
+       position-local.
     3. Tokens land in a (step, block) matrix; transposing it yields the
        stream in block order, and one cumsum + two scatters emit the
        final byte stream (escapes take 2 bytes).
@@ -189,43 +192,47 @@ def compress(data: bytes, symbols: list[bytes], block: int = PARSE_BLOCK) -> byt
 
 
 def _build_luts(symbols: list[bytes]):
-    # lengths 1-2: O(1) direct tables; lengths 3-8: sorted arrays gated
-    # by a 2-byte-prefix length mask so the searchsorted only ever sees
-    # positions whose first two bytes can start a symbol of that length.
-    lut1_code = np.zeros(256, dtype=np.uint8)
-    lut1_has = np.zeros(256, dtype=bool)
-    lut2_code = np.zeros(65536, dtype=np.uint8)
-    lut2_has = np.zeros(65536, dtype=bool)
-    pfx_mask = np.zeros(65536, dtype=np.uint8)  # bit (k-3): len-k symbol may start here
-    by_len: dict[int, list[tuple[int, int]]] = {}
-    for code_i, s in enumerate(symbols):
-        k = len(s)
-        if k == 1:
-            lut1_code[s[0]] = code_i
-            lut1_has[s[0]] = True
-        elif k == 2:
-            v = (s[0] << 8) | s[1]
-            lut2_code[v] = code_i
-            lut2_has[v] = True
-        else:
-            p2 = (s[0] << 8) | s[1]
-            pfx_mask[p2] |= 1 << (k - 3)
-            by_len.setdefault(k, []).append((int.from_bytes(s, "big"), code_i))
-    tables: list[tuple[int, np.ndarray, np.ndarray]] = []
-    for k in sorted(by_len, reverse=True):
-        pairs = sorted(by_len[k])
-        tables.append(
-            (
-                k,
-                np.array([p[0] for p in pairs], dtype=np.uint64),
-                np.array([p[1] for p in pairs], dtype=np.uint8),
-            )
-        )
-    return lut1_code, lut1_has, lut2_code, lut2_has, pfx_mask, tables
+    """Longest-prefix-match tables: ONE sorted array of zero-padded
+    8-byte symbol values + per-symbol prefix bitmasks.
+
+    Matching w: the greatest padded symbol value <= w (one searchsorted)
+    has, among its own prefixes that are themselves symbols, exactly the
+    symbols that prefix w up to the common-prefix length L(w, pred) —
+    proof: any symbol s = w[:k] satisfies s_padded <= pred <= w, forcing
+    pred[:k] == w[:k], so s is pred's k-prefix and k <= L; conversely
+    every symbol prefix of pred within L prefixes w.  So the longest
+    match is the highest set bit <= min(L, rem) of pred's prefix mask —
+    the whole per-length table cascade collapses to one search plus a
+    few gathers."""
+    symset = {s: i for i, s in enumerate(symbols)}
+    # sort by (padded value, length): equal padded values (NUL-padding
+    # collisions like "a" vs "a\0") keep the longest last, so the
+    # predecessor under side='right' sees the most prefixes
+    order = sorted(
+        range(len(symbols)),
+        key=lambda i: (int.from_bytes(symbols[i].ljust(8, b"\0"), "big"), len(symbols[i])),
+    )
+    nsym = len(symbols)
+    vals = np.empty(nsym, dtype=np.uint64)
+    pmask = np.zeros(nsym, dtype=np.uint16)
+    pcode = np.zeros((nsym, MAX_SYMBOL_LEN), dtype=np.uint8)
+    for idx, i in enumerate(order):
+        s = symbols[i]
+        vals[idx] = int.from_bytes(s.ljust(8, b"\0"), "big")
+        for k in range(1, len(s) + 1):
+            j = symset.get(s[:k])
+            if j is not None:
+                pmask[idx] |= 1 << (k - 1)
+                pcode[idx, k - 1] = j
+    # leading-zero-byte thresholds: count of th <= x gives 8 - lzbytes
+    lz_th = np.array([1 << (8 * j) for j in range(8)], dtype=np.uint64)
+    hb = np.array([m.bit_length() for m in range(512)], dtype=np.uint8)
+    allowed = np.array([(1 << min(r, 8)) - 1 for r in range(65)], dtype=np.uint16)
+    return vals, pmask, pcode.reshape(-1), lz_th, hb, allowed
 
 
 def _compress_segment(arr: np.ndarray, lut, block: int) -> np.ndarray:
-    lut1_code, lut1_has, lut2_code, lut2_has, pfx_mask, tables = lut
+    vals, pmask, pcode_flat, lz_th, hb, allowed = lut
     n = len(arr)
 
     # ---- 1. zero-padded input for boundary-free window gathers ----
@@ -248,7 +255,6 @@ def _compress_segment(arr: np.ndarray, lut, block: int) -> np.ndarray:
     bend = np.minimum(bstart + block, n)
     cur = bstart.copy()
     tok_code = np.empty((block, nb), dtype=np.uint8)
-    tok_esc = np.zeros((block, nb), dtype=bool)
     tok_lit = np.empty((block, nb), dtype=np.uint8)
     steps = np.zeros(nb, dtype=np.int64)
     act = np.arange(nb)
@@ -257,37 +263,21 @@ def _compress_segment(arr: np.ndarray, lut, block: int) -> np.ndarray:
         pos = cur[act]
         rem = bend[act] - pos
         w = window_le[pos].byteswap()
-        b2 = (w >> np.uint64(48)).astype(np.uint32)
-        length = np.zeros(len(act), dtype=np.int64)
-        code = np.empty(len(act), dtype=np.uint8)
-        # lengths >= 3, longest first, gated by the prefix mask
-        pm = pfx_mask[b2]
-        for k, vals_k, codes_k in tables:
-            cand = np.flatnonzero(
-                (length == 0) & (pm & (1 << (k - 3)) != 0) & (rem >= k)
-            )
-            if not cand.size:
-                continue
-            v = w[cand] >> np.uint64(8 * (8 - k))
-            at = np.searchsorted(vals_k, v)
-            at_c = np.minimum(at, len(vals_k) - 1)
-            hit = vals_k[at_c] == v
-            hp = cand[hit]
-            length[hp] = k
-            code[hp] = codes_k[at_c[hit]]
-        # length 2: direct table
-        m2 = (length == 0) & (rem >= 2) & lut2_has[b2]
-        length[m2] = 2
-        code[m2] = lut2_code[b2[m2]]
-        # length 1: direct table
-        b1 = (w >> np.uint64(56)).astype(np.uint32)
-        m1 = (length == 0) & lut1_has[b1]
-        length[m1] = 1
-        code[m1] = lut1_code[b1[m1]]
+        # longest-prefix match via the predecessor in the sorted padded
+        # symbol table (see _build_luts): one searchsorted + gathers
+        p = np.searchsorted(vals, w, side="right") - 1
+        has_pred = p >= 0
+        pc = np.where(has_pred, p, 0)
+        x = w ^ vals[pc]
+        # common prefix bytes L = 8 - (count of lz_th <= x)
+        lcp = np.uint16(8) - np.searchsorted(lz_th, x, side="right").astype(np.uint16)
+        m = pmask[pc] & allowed[np.minimum(rem, 8)] & ((1 << lcp) - 1).astype(np.uint16)
+        m = np.where(has_pred, m, 0)
+        length = hb[m].astype(np.int64)  # highest set bit = longest fit
+        code = pcode_flat[pc * MAX_SYMBOL_LEN + np.maximum(length - 1, 0)]
 
         is_sym = length > 0
         tok_code[t, act] = np.where(is_sym, code, ESCAPE)
-        tok_esc[t, act] = ~is_sym
         tok_lit[t, act] = arr[pos]
         cur[act] = pos + np.maximum(length, 1)
         steps[act] += 1
@@ -297,7 +287,7 @@ def _compress_segment(arr: np.ndarray, lut, block: int) -> np.ndarray:
     # ---- 3. assemble: block-major order, escapes expand to 2 bytes ----
     valid = (np.arange(t)[None, :] < steps[:, None]).ravel()  # (nb, t)
     codes_f = tok_code[:t].T.reshape(-1)[valid]
-    esc_f = tok_esc[:t].T.reshape(-1)[valid]
+    esc_f = codes_f == ESCAPE  # 255 is never a symbol code (MAX_SYMBOLS=255)
     lit_f = tok_lit[:t].T.reshape(-1)[valid]
     out_len = esc_f.astype(np.int64) + 1
     starts = np.zeros(len(out_len), dtype=np.int64)
