@@ -226,6 +226,22 @@ def _q_rt_arrstruct_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_scan_orderkey_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map range scan: per-chunk min/max statistics (the Statistics
+    struct the reference's thrift declares but its writer never fills,
+    /root/reference/parquet.thrift:201-214) prune non-intersecting
+    chunks before any decode; residual filter exacts the predicate."""
+    from parquetjs_spark import pipeline
+
+    df = (
+        _load(spark, sf_dir, "lineitem")
+        .select("l_orderkey")
+        .orderBy("l_orderkey")
+    )
+    blobs = pipeline.encode_columns(df)
+    return pipeline.scan_column(blobs, "l_orderkey", lo=100, hi=5000)
+
+
 def _q_rt_decimal_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DECIMAL(12,2) round-trip: unscaled int64 under the int codecs
     (Spark-first extension; the reference has no DECIMAL —
@@ -292,6 +308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["rt_flba_digest"] = _q_rt_flba_digest
     out["rt_decimal_price"] = _q_rt_decimal_price
     out["rt_arrstruct_lineitem"] = _q_rt_arrstruct_lineitem
+    out["scan_orderkey_range"] = _q_scan_orderkey_range
     out["rt_array_embedding"] = _q_rt_array_embedding
     out["rt_array_emb_elem0"] = _q_rt_array_emb_elem0
 
@@ -344,6 +361,9 @@ def oracle_sql() -> dict[str, str]:
     out["rt_arrstruct_lineitem"] = (
         "SELECT l_linenumber AS n0, l_quantity * 2 AS q1, "
         "CAST(2 AS BIGINT) AS sz, l_orderkey FROM lineitem"
+    )
+    out["scan_orderkey_range"] = (
+        "SELECT l_orderkey FROM lineitem WHERE l_orderkey BETWEEN 100 AND 5000"
     )
     out["rt_array_emb_elem0"] = (
         "SELECT CAST(embedding[1] AS DOUBLE) AS e0, "

@@ -617,6 +617,38 @@ def _encode_decimal_column(arr, dtype, codec, compression, fsst_state):
     )
 
 
+_STATS_MAXLEN = 64  # string stats truncation (see _column_stats)
+
+
+def _column_stats(arr: pa.Array, dtype: str):
+    """Per-chunk (min, max) as canonical strings — the zone-map slice of
+    Parquet's Statistics struct (/root/reference/parquet.thrift:201-214,
+    declared there but never written by the reference's writer.js).
+
+    Strings are truncated to _STATS_MAXLEN chars: a truncated MIN stays
+    a valid lower bound, but a truncated MAX is NOT an upper bound, so
+    long maxima are dropped (None = unprunable on that side) rather
+    than made incorrect.  Unorderable dtypes (bool/binary/lists) carry
+    no stats."""
+    base = dtype.split("(")[0]
+    if dtype.startswith("list_") or base in ("bool", "binary"):
+        return None, None
+    try:
+        mm = pc.min_max(arr)
+        mn, mx = mm["min"].as_py(), mm["max"].as_py()
+    except Exception:
+        return None, None
+    if mn is None or mx is None:
+        return None, None
+    smin, smax = str(mn), str(mx)
+    if dtype == "string":
+        if len(smin) > _STATS_MAXLEN:
+            smin = smin[:_STATS_MAXLEN]
+        if len(smax) > _STATS_MAXLEN:
+            smax = None
+    return smin, smax
+
+
 def encode_arrow_column(
     arr: pa.Array,
     dtype: str,
@@ -709,6 +741,7 @@ def _assemble_blob(
         "selector": sel_info,
     }
     return blob, stats
+
 
 
 def decode_arrow_column(blob: bytes | memoryview) -> tuple[pa.Array, str]:

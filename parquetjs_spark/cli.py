@@ -128,6 +128,19 @@ def cmd_decode_table(args) -> int:
     return 0
 
 
+def cmd_scan(args) -> int:
+    from parquetjs_spark import pipeline
+
+    spark = _spark(args)
+    blobs = pipeline.read_encoded(spark, args.input)
+    lo = args.min if args.min is not None else None
+    hi = args.max if args.max is not None else None
+    out = pipeline.scan_column(blobs, args.column, lo=lo, hi=hi)
+    out.write.mode("overwrite").parquet(args.output)
+    print(json.dumps({"rows": spark.read.parquet(args.output).count()}))
+    return 0
+
+
 def cmd_verify(args) -> int:
     from pyspark.sql import functions as F
 
@@ -180,6 +193,14 @@ def main(argv: list[str] | None = None) -> int:
     pt.add_argument("--columns", default=None, help="comma-separated; default all")
     pt.add_argument("--output", required=True)
     pt.set_defaults(fn=cmd_decode_table)
+
+    ps = sub.add_parser("scan")
+    ps.add_argument("--input", required=True)
+    ps.add_argument("--column", required=True)
+    ps.add_argument("--min", default=None, help="range lower bound (zone-map pruned)")
+    ps.add_argument("--max", default=None, help="range upper bound (zone-map pruned)")
+    ps.add_argument("--output", required=True)
+    ps.set_defaults(fn=cmd_scan)
 
     pv = sub.add_parser("verify")
     pv.add_argument("--input", required=True)

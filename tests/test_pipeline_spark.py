@@ -350,3 +350,53 @@ def test_salted_repartition_bounds_skew(spark):
     # (salt buckets can collide partitions, so bound loosely)
     assert len(mega_parts) >= 4
     assert max(r["count"] for r in mega_parts) < 600
+
+
+def test_scan_column_stat_pruning(spark):
+    """Zone maps (manifest stat_min/stat_max): on range-clustered data a
+    narrow range scan decodes only the intersecting chunks; values match
+    a plain filter exactly."""
+    df = (
+        load_table(spark, SF, "lineitem")
+        .select("l_orderkey")
+        .orderBy("l_orderkey")
+        .coalesce(1)
+    )
+    blobs = pipeline.encode_columns(df, chunk_rows=512).cache()
+    try:
+        out = pipeline.scan_column(blobs, "l_orderkey", lo=100, hi=400)
+        got = sorted(r[0] for r in out.collect())
+        want = sorted(
+            r[0]
+            for r in df.where("l_orderkey between 100 and 400").collect()
+        )
+        assert got == want and len(got) > 0
+        # the pruning filter must eliminate most chunks on sorted data
+        total = blobs.where(F.col("column") == "l_orderkey").count()
+        kept = blobs.where(
+            (F.col("column") == "l_orderkey")
+            & (F.col("stat_max").cast("bigint") >= 100)
+            & (F.col("stat_min").cast("bigint") <= 400)
+        ).count()
+        assert kept <= max(2, total // 3), (kept, total)
+    finally:
+        blobs.unpersist()
+
+
+def test_scan_column_string_and_null_stats(spark):
+    docs = load_table(spark, SF, "documents").select("lang").orderBy("lang")
+    blobs = pipeline.encode_columns(docs, chunk_rows=64).cache()
+    try:
+        out = pipeline.scan_column(blobs, "lang", lo="de", hi="en")
+        got = sorted(r[0] for r in out.collect())
+        want = sorted(
+            r[0] for r in docs.where("lang between 'de' and 'en'").collect()
+        )
+        assert got == want
+        # unorderable dtypes carry null stats and stay scannable
+        emb = load_table(spark, SF, "embeddings").select("embedding")
+        eb = pipeline.encode_columns(emb, chunk_rows=128)
+        stats = eb.select("stat_min", "stat_max").distinct().collect()
+        assert all(r["stat_min"] is None and r["stat_max"] is None for r in stats)
+    finally:
+        blobs.unpersist()
