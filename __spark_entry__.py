@@ -242,6 +242,19 @@ def _q_scan_orderkey_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.scan_column(blobs, "l_orderkey", lo=100, hi=5000)
 
 
+def _q_scan_table_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-group-pruned full-row range scan (zone maps -> decode_table)."""
+    from parquetjs_spark import pipeline
+
+    df = (
+        _load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_returnflag")
+        .orderBy("l_orderkey")
+    )
+    blobs = pipeline.encode_columns(df)
+    return pipeline.scan_table(blobs, "l_orderkey", lo=100, hi=5000)
+
+
 def _q_rt_decimal_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DECIMAL(12,2) round-trip: unscaled int64 under the int codecs
     (Spark-first extension; the reference has no DECIMAL —
@@ -309,6 +322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["rt_decimal_price"] = _q_rt_decimal_price
     out["rt_arrstruct_lineitem"] = _q_rt_arrstruct_lineitem
     out["scan_orderkey_range"] = _q_scan_orderkey_range
+    out["scan_table_range"] = _q_scan_table_range
     out["rt_array_embedding"] = _q_rt_array_embedding
     out["rt_array_emb_elem0"] = _q_rt_array_emb_elem0
 
@@ -364,6 +378,10 @@ def oracle_sql() -> dict[str, str]:
     )
     out["scan_orderkey_range"] = (
         "SELECT l_orderkey FROM lineitem WHERE l_orderkey BETWEEN 100 AND 5000"
+    )
+    out["scan_table_range"] = (
+        "SELECT l_orderkey, l_quantity, l_returnflag FROM lineitem "
+        "WHERE l_orderkey BETWEEN 100 AND 5000"
     )
     out["rt_array_emb_elem0"] = (
         "SELECT CAST(embedding[1] AS DOUBLE) AS e0, "

@@ -780,6 +780,55 @@ def scan_column(
     return out
 
 
+def scan_table(
+    blob_df: DataFrame,
+    predicate_column: str,
+    lo=None,
+    hi=None,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """Row-group-pruned table scan: zone maps on ``predicate_column``
+    select the (part_id, chunk_seq) row groups that can satisfy
+    lo <= value <= hi; only those groups' chunks are decoded
+    (decode_table) and the residual predicate filters rows.  The
+    pruning join is a broadcast semi-join on row-group identity — the
+    kept-groups list is manifest-sized metadata, never data-sized."""
+    for stat_col in ("stat_min", "stat_max"):
+        if stat_col not in blob_df.columns:
+            blob_df = blob_df.withColumn(stat_col, F.lit(None).cast("string"))
+    pred_rows = blob_df.where(F.col("column") == predicate_column)
+    drow = pred_rows.select("dtype").limit(1).collect()
+    if not drow:
+        raise ValueError(f"no chunks for column {predicate_column}")
+    styp = spark_type_of(drow[0][0])
+    if lo is not None:
+        pred_rows = pred_rows.where(
+            F.col("stat_max").isNull()
+            | (F.col("stat_max").cast(styp) >= F.lit(lo).cast(styp))
+        )
+    if hi is not None:
+        pred_rows = pred_rows.where(
+            F.col("stat_min").isNull()
+            | (F.col("stat_min").cast(styp) <= F.lit(hi).cast(styp))
+        )
+    keep = pred_rows.select("part_id", "chunk_seq").distinct()
+    pruned = blob_df.join(
+        F.broadcast(keep), on=["part_id", "chunk_seq"], how="left_semi"
+    )
+    want = columns
+    if want is not None and predicate_column not in want:
+        want = list(want) + [predicate_column]  # needed for the residual
+    out = decode_table(pruned, want)
+    vcol = F.col(f"`{predicate_column}`")
+    if lo is not None:
+        out = out.where(vcol >= F.lit(lo).cast(styp))
+    if hi is not None:
+        out = out.where(vcol <= F.lit(hi).cast(styp))
+    if want is not columns and columns is not None:
+        out = out.select(*[F.col(f"`{c}`") for c in columns])
+    return out
+
+
 VERIFY_SCHEMA = T.StructType(
     [
         T.StructField("part_id", T.IntegerType()),

@@ -400,3 +400,31 @@ def test_scan_column_string_and_null_stats(spark):
         assert all(r["stat_min"] is None and r["stat_max"] is None for r in stats)
     finally:
         blobs.unpersist()
+
+
+def test_scan_table_row_group_pruning(spark):
+    """Full-row range scan: zone maps on the predicate column prune
+    whole row groups before decode_table; result matches a plain WHERE."""
+    df = (
+        load_table(spark, SF, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_returnflag")
+        .orderBy("l_orderkey")
+        .coalesce(1)
+    )
+    blobs = pipeline.encode_columns(df, chunk_rows=512).cache()
+    try:
+        out = pipeline.scan_table(blobs, "l_orderkey", lo=100, hi=400)
+        assert set(out.columns) == {"l_orderkey", "l_quantity", "l_returnflag"}
+        got = sorted(map(repr, out.collect()))
+        want = sorted(
+            map(repr, df.where("l_orderkey between 100 and 400").collect())
+        )
+        assert got == want and len(got) > 0
+        # projection without the predicate column still filters correctly
+        proj = pipeline.scan_table(
+            blobs, "l_orderkey", lo=100, hi=400, columns=["l_returnflag"]
+        )
+        assert proj.columns == ["l_returnflag"]
+        assert proj.count() == len(got)
+    finally:
+        blobs.unpersist()
