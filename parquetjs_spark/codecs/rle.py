@@ -33,30 +33,22 @@ import numpy as np
 from .util import pack_bits, run_lengths, unpack_bits, varint_decode, varint_encode
 
 
-def _emit_bitpacked(out: list[bytes], values: np.ndarray, width: int) -> None:
-    n = len(values)
-    if n == 0:
-        return
-    pad = (-n) % 8
-    if pad:
-        values = np.concatenate([values, np.zeros(pad, dtype=values.dtype)])
-    out.append(varint_encode((len(values) // 8) << 1 | 1))
-    out.append(pack_bits(values, width))
-
-
-def _emit_repeated(out: list[bytes], value: int, count: int, width: int) -> None:
-    out.append(varint_encode(count << 1))
-    # ceil(bitWidth/8) bytes, 0 bytes when width==0 (rle.js:22 Buffer.alloc)
-    out.append(int(value).to_bytes((width + 7) // 8, "little"))
-
-
 def encode(values, bit_width: int, disable_envelope: bool = False) -> bytes:
-    """Encode non-negative ints with the reference's greedy hybrid."""
+    """Encode non-negative ints with the reference's greedy hybrid.
+
+    Two phases: the segmentation walk over runs does pure integer
+    bookkeeping (it only records literal spans and repeats), then ALL
+    literal spans are bit-packed in ONE ``pack_bits`` call over their
+    concatenated 8-padded values — each padded span is byte-aligned
+    (8*width bits per group), so the single packed buffer slices back
+    into per-span payloads.  Byte-identical to emitting span by span
+    (golden-vector parity tests), but without per-span NumPy dispatch,
+    which dominated numeric-table encode."""
     v = np.ascontiguousarray(np.asarray(values), dtype=np.uint64)
-    out: list[bytes] = []
     run_vals, run_lens = run_lengths(v)
 
-    # Pending literal (bit-packed) span, tracked as [start, end) into v.
+    # phase 1: segmentation — ints only
+    pieces: list[tuple] = []  # ("lit", start, n) | ("rep", value, count)
     lit_start = 0
     lit_len = 0
     pos = 0
@@ -70,8 +62,8 @@ def encode(values, bit_width: int, disable_envelope: bool = False) -> bytes:
             if rl - absorb >= 2:
                 lit_len += absorb
                 if lit_len:
-                    _emit_bitpacked(out, v[lit_start : lit_start + lit_len], bit_width)
-                _emit_repeated(out, rv, rl - absorb, bit_width)
+                    pieces.append(("lit", lit_start, lit_len))
+                pieces.append(("rep", rv, rl - absorb))
                 lit_start = pos + rl
                 lit_len = 0
             else:
@@ -80,7 +72,35 @@ def encode(values, bit_width: int, disable_envelope: bool = False) -> bytes:
             lit_len += rl
         pos += rl
     if lit_len:
-        _emit_bitpacked(out, v[lit_start : lit_start + lit_len], bit_width)
+        pieces.append(("lit", lit_start, lit_len))
+
+    # phase 2: one batched pack of every literal span
+    lit_total = sum((n + 7) // 8 * 8 for kind, _, n in pieces if kind == "lit")
+    packed = b""
+    span_bytes = bit_width  # bytes per 8-value group
+    if lit_total:
+        allv = np.zeros(lit_total, dtype=np.uint64)
+        off = 0
+        for kind, a, n in pieces:
+            if kind == "lit":
+                allv[off : off + n] = v[a : a + n]
+                off += (n + 7) // 8 * 8
+        packed = pack_bits(allv, bit_width)
+
+    out: list[bytes] = []
+    rep_nbytes = (bit_width + 7) // 8
+    boff = 0
+    for kind, a, n in pieces:
+        if kind == "lit":
+            groups = (n + 7) // 8
+            out.append(varint_encode(groups << 1 | 1))
+            out.append(packed[boff : boff + groups * span_bytes])
+            boff += groups * span_bytes
+        else:
+            out.append(varint_encode(n << 1))
+            # ceil(bitWidth/8) LE bytes; 0 bytes when width==0
+            # (rle.js:22 Buffer.alloc)
+            out.append(int(a).to_bytes(rep_nbytes, "little"))
 
     buf = b"".join(out)
     if disable_envelope:
