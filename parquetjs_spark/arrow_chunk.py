@@ -25,7 +25,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .chunk import (
-    DTYPE_IDS,
     DTYPE_NAMES,
     MAGIC,
     SAMPLE_BYTES,
@@ -39,7 +38,6 @@ from .codecs import (
     CODEC_NAMES,
     DICT_RLE,
     FLBA,
-    FOR_BITPACK,
     FSST,
     PLAIN,
     RLE,
