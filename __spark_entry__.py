@@ -13,6 +13,12 @@ similarity, text analysis) over documents/embeddings.
 ``oracle_sql()`` — DuckDB-equivalent SQL per query; omitted for
 non-SQL-expressible ops (codec-choice introspection, MinHash/SimHash
 candidates, ANN) which the driver records as rows-only checks.
+
+DRIVER BUDGET: the driver records the FIRST 50 queries only (round 2
+defined 63 and the last 13 — all of similarity/ANN/multimodal — got no
+correctness row at all).  Keep ``len(queries()) <= 50`` (pytest
+tests/test_entry_contract.py enforces it), order least-recently-verified
+ops first, and fold redundant round-trips instead of appending.
 """
 
 from __future__ import annotations
@@ -42,31 +48,26 @@ def entry(spark: SparkSession) -> DataFrame:
 # round-trip identity queries: decode(encode(col)) == col per codec/dtype
 # --------------------------------------------------------------------------
 
+# One auto-selector round-trip per distinct dtype path + one per explicit
+# codec path.  Round 2 carried one rt_auto_* per COLUMN (14 rows), which
+# re-proved the same selector/dtype paths while pushing the similarity and
+# multimodal queries past the driver's 50-query window — folded here
+# (dropped duplicates are noted with the row that still covers the path).
 _ROUNDTRIPS: list[tuple[str, str, str, str]] = [
     # (query_name, table, column, codec)
-    ("rt_auto_returnflag", "lineitem", "l_returnflag", "auto"),
-    ("rt_auto_linestatus", "lineitem", "l_linestatus", "auto"),
-    ("rt_auto_orderkey", "lineitem", "l_orderkey", "auto"),
-    ("rt_auto_quantity", "lineitem", "l_quantity", "auto"),
-    ("rt_auto_extendedprice", "lineitem", "l_extendedprice", "auto"),
-    ("rt_auto_shipdate", "lineitem", "l_shipdate", "auto"),
-    ("rt_auto_orderdate", "orders", "o_orderdate", "auto"),
-    ("rt_auto_orderpriority", "orders", "o_orderpriority", "auto"),
-    ("rt_auto_eventtype", "events", "event_type", "auto"),
-    ("rt_auto_props", "events", "props", "auto"),
-    ("rt_auto_doctext", "documents", "text", "auto"),
-    ("rt_auto_mktsegment", "customer", "c_mktsegment", "auto"),
-    ("rt_auto_parttype", "part", "p_type", "auto"),
-    ("rt_auto_partsize", "part", "p_size", "auto"),
+    ("rt_auto_returnflag", "lineitem", "l_returnflag", "auto"),  # string/dict
+    ("rt_auto_orderkey", "lineitem", "l_orderkey", "auto"),  # int64
+    ("rt_auto_quantity", "lineitem", "l_quantity", "auto"),  # float64
+    ("rt_auto_shipdate", "lineitem", "l_shipdate", "auto"),  # date
+    ("rt_auto_partsize", "part", "p_size", "auto"),  # int32
+    ("rt_auto_doctext", "documents", "text", "auto"),  # long strings
     ("rt_dict_returnflag", "lineitem", "l_returnflag", "DICT_RLE"),
-    ("rt_dict_suppkey", "lineitem", "l_suppkey", "DICT_RLE"),
+    ("rt_dict_suppkey", "lineitem", "l_suppkey", "DICT_RLE"),  # int dict
     ("rt_for_orderkey", "lineitem", "l_orderkey", "FOR_BITPACK"),
-    ("rt_for_custkey", "orders", "o_custkey", "FOR_BITPACK"),
     ("rt_rle_linenumber", "lineitem", "l_linenumber", "RLE"),
     ("rt_plain_extendedprice", "lineitem", "l_extendedprice", "PLAIN"),
-    ("rt_plain_comment_props", "events", "props", "PLAIN"),
+    ("rt_plain_comment_props", "events", "props", "PLAIN"),  # nullable str
     ("rt_fsst_doctext", "documents", "text", "FSST"),
-    ("rt_fsst_props", "events", "props", "FSST"),
 ]
 
 
@@ -107,25 +108,6 @@ def _q_chunk_counts_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("n").alias("n_values"), F.sum("n_nulls").alias("n_nulls"))
         .orderBy("col_name")
     )
-
-
-def _q_cardinality_dict_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Engine-computed distinct counts (via decode -> countDistinct) for the
-    dictionary-friendly lineitem columns."""
-    from pyspark.sql import functions as F
-
-    from parquetjs_spark import pipeline
-
-    df = _load(spark, sf_dir, "lineitem")
-    rf = pipeline.roundtrip_column(df, "l_returnflag")
-    ls = pipeline.roundtrip_column(df, "l_linestatus")
-    a = rf.agg(F.countDistinct("l_returnflag").alias("card")).withColumn(
-        "col_name", F.lit("l_returnflag")
-    )
-    b = ls.agg(F.countDistinct("l_linestatus").alias("card")).withColumn(
-        "col_name", F.lit("l_linestatus")
-    )
-    return a.unionByName(b).select("col_name", "card")
 
 
 def _q_codec_choices_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -258,7 +240,12 @@ def _q_scan_table_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_rt_decimal_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DECIMAL(12,2) round-trip: unscaled int64 under the int codecs
     (Spark-first extension; the reference has no DECIMAL —
-    /root/reference/parquet.thrift:79 enum only)."""
+    /root/reference/parquet.thrift:79 enum only).
+
+    The result is projected to the unscaled integer the codec actually
+    stores: a raw decimal(12,2) cell crosses the driver's canonicalizer
+    as Decimal vs DuckDB's float repr and hash-mismatches even when the
+    values are identical (round-2 red row — representation, not data)."""
     from pyspark.sql import functions as F
 
     from parquetjs_spark import pipeline
@@ -266,7 +253,10 @@ def _q_rt_decimal_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _load(spark, sf_dir, "lineitem").select(
         F.col("l_extendedprice").cast("decimal(12,2)").alias("price")
     )
-    return pipeline.roundtrip_column(df, "price")
+    out = pipeline.roundtrip_column(df, "price")
+    return out.select(
+        (F.col("price") * 100).cast("long").alias("price_cents")
+    )
 
 
 def _q_rt_flba_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -280,20 +270,30 @@ def _q_rt_flba_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _load(spark, sf_dir, "documents").select(
         F.unhex(F.md5(F.col("text"))).alias("digest")
     )
-    return pipeline.roundtrip_column(df, "digest")
+    out = pipeline.roundtrip_column(df, "digest")
+    # hex projection: a binary cell arrives as bytearray vs DuckDB blob
+    # at the driver's canonicalizer (round-2 red row was representation,
+    # not data) — hex is representation-stable and keeps FLBA exercised
+    return out.select(F.hex(F.col("digest")).alias("digest_hex"))
 
 
-def _q_rt_array_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Repeated-field (array<float>) round-trip — Dremel L3/L4
-    re-expression (rows-only: array cell hashing is comparator-specific)."""
+def _q_rt_auto_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PLAIN BOOLEAN end-to-end (reference lib/codec/plain.js:5-28):
+    testdata has no bool column, so derive one — this is the only
+    oracle-checked evidence for the bool bit-packing path."""
+    from pyspark.sql import functions as F
+
     from parquetjs_spark import pipeline
 
-    df = _load(spark, sf_dir, "embeddings")
-    return pipeline.roundtrip_column(df, "embedding")
+    df = _load(spark, sf_dir, "lineitem").select(
+        (F.col("l_quantity") > 25).alias("big")
+    )
+    return pipeline.roundtrip_column(df, "big")
 
 
 def _q_rt_array_emb_elem0(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array round-trip projected to a scalar so the oracle can hash it."""
+    """Repeated-field (array<float>) round-trip — Dremel L3/L4
+    re-expression — projected to scalars so the oracle can hash it."""
     from pyspark.sql import functions as F
 
     from parquetjs_spark import pipeline
@@ -307,28 +307,35 @@ def _q_rt_array_emb_elem0(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDER MATTERS: the driver records the first 50 entries only.  The
+    # similarity/ANN/multimodal registry goes FIRST (its tail fell out of
+    # round 2's window entirely), then this round's new/red-last-round
+    # queries, then the long-green round-trips.
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+
+    from parquetjs_spark.functions import registry as fn_registry
+
+    out.update(fn_registry.queries())
+
+    # red in round 2 (representation) / new this round
+    out["rt_flba_digest"] = _q_rt_flba_digest
+    out["rt_decimal_price"] = _q_rt_decimal_price
+    out["rt_auto_bool"] = _q_rt_auto_bool
+
+    # long-green core
     for name, table, column, codec in _ROUNDTRIPS:
         out[name] = _make_roundtrip(table, column, codec)
     out["distinct_returnflag"] = _q_distinct_returnflag
     out["chunk_counts_lineitem"] = _q_chunk_counts_lineitem
-    out["cardinality_dict_columns"] = _q_cardinality_dict_columns
     out["codec_choices_lineitem"] = _q_codec_choices_lineitem
     out["verify_all_lineitem"] = _q_verify_all_lineitem
     out["rt_table_lineitem"] = _q_rt_table_lineitem
     out["rt_table_events"] = _q_rt_table_events
     out["rt_struct_lineitem"] = _q_rt_struct_lineitem
-    out["rt_flba_digest"] = _q_rt_flba_digest
-    out["rt_decimal_price"] = _q_rt_decimal_price
     out["rt_arrstruct_lineitem"] = _q_rt_arrstruct_lineitem
     out["scan_orderkey_range"] = _q_scan_orderkey_range
     out["scan_table_range"] = _q_scan_table_range
-    out["rt_array_embedding"] = _q_rt_array_embedding
     out["rt_array_emb_elem0"] = _q_rt_array_emb_elem0
-
-    from parquetjs_spark.functions import registry as fn_registry
-
-    out.update(fn_registry.queries())
     return out
 
 
@@ -355,12 +362,7 @@ def oracle_sql() -> dict[str, str]:
         f"CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM lineitem"
         for c in _li_cols
     )
-    out["cardinality_dict_columns"] = (
-        "SELECT 'l_returnflag' AS col_name, COUNT(DISTINCT l_returnflag) AS card FROM lineitem "
-        "UNION ALL SELECT 'l_linestatus' AS col_name, COUNT(DISTINCT l_linestatus) AS card FROM lineitem"
-    )
-    # codec_choices_lineitem / verify_all_lineitem / rt_array_embedding:
-    # rows-only by design
+    # codec_choices_lineitem / verify_all_lineitem: rows-only by design
     out["rt_table_lineitem"] = (
         "SELECT l_orderkey, l_quantity, l_returnflag, l_shipdate FROM lineitem"
     )
@@ -368,10 +370,12 @@ def oracle_sql() -> dict[str, str]:
     out["rt_struct_lineitem"] = (
         "SELECT l_orderkey AS ok, l_quantity AS qty, l_returnflag FROM lineitem"
     )
-    out["rt_flba_digest"] = "SELECT unhex(md5(text)) AS digest FROM documents"
+    out["rt_flba_digest"] = "SELECT upper(md5(text)) AS digest_hex FROM documents"
     out["rt_decimal_price"] = (
-        "SELECT CAST(l_extendedprice AS DECIMAL(12,2)) AS price FROM lineitem"
+        "SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_cents "
+        "FROM lineitem"
     )
+    out["rt_auto_bool"] = "SELECT l_quantity > 25 AS big FROM lineitem"
     out["rt_arrstruct_lineitem"] = (
         "SELECT l_linenumber AS n0, l_quantity * 2 AS q1, "
         "CAST(2 AS BIGINT) AS sz, l_orderkey FROM lineitem"

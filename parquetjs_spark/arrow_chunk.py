@@ -255,11 +255,19 @@ def _select_string_codec(block: StrBlock, fsst_state: dict | None) -> tuple[str,
         return PLAIN, info
     # decision cache: one column's chunks within a task are near-i.i.d.,
     # so re-measuring plain-vs-fsst on every chunk wastes ~15% of encode
-    # CPU; re-evaluate every SEL_CACHE_USES chunks to bound drift
+    # CPU; re-evaluate every SEL_CACHE_USES chunks to bound drift.  A
+    # cached FLBA pick requires uniform widths in THIS chunk too —
+    # re-validate before reuse (one variable-length value would crash
+    # the encode otherwise).
     if fsst_state is not None and "sel" in fsst_state:
-        if fsst_state.get("sel_uses", 0) < SEL_CACHE_USES:
+        sel = fsst_state["sel"]
+        ok = fsst_state.get("sel_uses", 0) < SEL_CACHE_USES
+        if ok and sel == FLBA and n:
+            ls = block.lens
+            ok = bool((ls == ls[0]).all())
+        if ok:
             fsst_state["sel_uses"] = fsst_state.get("sel_uses", 0) + 1
-            return fsst_state["sel"], {"cached": True}
+            return sel, {"cached": True}
         del fsst_state["sel"]
     total = block.total
     lens = block.lens
@@ -632,6 +640,14 @@ def _column_stats(arr: pa.Array, dtype: str):
     if dtype.startswith("list_") or base in ("bool", "binary"):
         return None, None
     try:
+        if base in ("float64", "float32"):
+            # arrow min_max skips NaN, so an all-NaN chunk reads as
+            # (inf, -inf) and any NaN row sits outside [min, max] while
+            # Spark sorts NaN ABOVE all values — a pruned scan would
+            # drop NaN rows the unpruned residual filter keeps.  A chunk
+            # containing NaN is conservatively unprunable.
+            if pc.any(pc.is_nan(arr)).as_py():
+                return None, None
         mm = pc.min_max(arr)
         mn, mx = mm["min"].as_py(), mm["max"].as_py()
     except Exception:

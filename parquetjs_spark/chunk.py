@@ -342,11 +342,20 @@ def select_codec(vals, dtype: str, fsst_state: dict | None = None) -> tuple[str,
     if dtype in ("float64", "float32", "int64", "int32", "date", "timestamp_us"):
         # decision cache: same policy as the string path below — numeric
         # chunks of one column within a task are near-i.i.d., so the
-        # measured selection below amortizes to ~0
+        # measured selection below amortizes to ~0.  A cached RLE pick
+        # carries a data precondition (non-negative, <=32-bit) that a
+        # later chunk may violate — re-validate before reuse or a valid
+        # input crashes the encode (e.g. first chunks all-positive, next
+        # chunk contains -1).
         if fsst_state is not None and "sel" in fsst_state:
-            if fsst_state.get("sel_uses", 0) < SEL_CACHE_USES:
+            sel = fsst_state["sel"]
+            ok = fsst_state.get("sel_uses", 0) < SEL_CACHE_USES
+            if ok and sel == RLE and n:
+                a = np.asarray(vals)
+                ok = int(a.min()) >= 0 and bit_width(int(a.max())) <= 32
+            if ok:
                 fsst_state["sel_uses"] = fsst_state.get("sel_uses", 0) + 1
-                return fsst_state["sel"], {"cached": True}
+                return sel, {"cached": True}
             del fsst_state["sel"]
         arr = np.asarray(vals)
         sample = arr[:SAMPLE_VALUES]
@@ -392,11 +401,18 @@ def select_codec(vals, dtype: str, fsst_state: dict | None = None) -> tuple[str,
     if dtype == "bool":
         return PLAIN, info
     # strings / binary: measure on a byte sample
-    # (decision cache: same policy as arrow_chunk._select_string_codec)
+    # (decision cache: same policy as arrow_chunk._select_string_codec).
+    # A cached FLBA pick requires uniform value widths — re-validate, a
+    # later chunk with one variable-length value would crash the encode.
     if fsst_state is not None and "sel" in fsst_state:
-        if fsst_state.get("sel_uses", 0) < SEL_CACHE_USES:
+        sel = fsst_state["sel"]
+        ok = fsst_state.get("sel_uses", 0) < SEL_CACHE_USES
+        if ok and sel == FLBA and n:
+            ls = np.fromiter((len(v) for v in vals), dtype=np.int64, count=n)
+            ok = bool((ls == ls[0]).all())
+        if ok:
             fsst_state["sel_uses"] = fsst_state.get("sel_uses", 0) + 1
-            return fsst_state["sel"], {"cached": True}
+            return sel, {"cached": True}
         del fsst_state["sel"]
     lens = np.fromiter((len(v) for v in vals), dtype=np.int64, count=n)
     total = int(lens.sum())

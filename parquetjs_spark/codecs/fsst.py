@@ -298,6 +298,43 @@ def _compress_segment(arr: np.ndarray, lut, block: int) -> np.ndarray:
     return out
 
 
+def _overlap_store_ok() -> bool:
+    """Pin NumPy's fancy-assignment ordering once at import: the fast
+    decompress path stores overlapping 8-byte rows through a byte-strided
+    u64 view and needs later indices to win on overlapped bytes — NumPy
+    documents duplicate-index assignment order as implementation-defined,
+    so verify on THIS build and fall back to the per-length scatter path
+    if the semantics ever change (test_fsst_overlap_store_semantics pins
+    the same behavior in CI)."""
+    buf = np.zeros(17, dtype=np.uint8)
+    v = np.ndarray(buffer=buf, shape=(10,), strides=(1,), dtype="<u8")
+    v[np.array([0, 1])] = np.array(
+        [0x0807060504030201, 0x1817161514131211], dtype=np.uint64
+    )
+    return int(buf[0]) == 0x01 and int(buf[1]) == 0x11
+
+
+_OVERLAP_STORE_OK = _overlap_store_ok()
+
+
+def _scatter_codes_grouped(
+    out_pad: np.ndarray,
+    starts_codes: np.ndarray,
+    codes: np.ndarray,
+    symmat: np.ndarray,
+    symlen: np.ndarray,
+) -> None:
+    """Order-independent fallback: scatter code expansions grouped by
+    symbol length (<= 8 C-level scatters, no overlapping stores)."""
+    lens_codes = symlen[codes]
+    for ln in np.unique(lens_codes):
+        if ln == 0:
+            continue
+        m = lens_codes == ln
+        idx = (starts_codes[m][:, None] + np.arange(ln)).reshape(-1)
+        out_pad[idx] = symmat[codes[m], :ln].reshape(-1)
+
+
 def decompress(payload: bytes, symbols: list[bytes]) -> bytes:
     arr = np.frombuffer(payload, dtype=np.uint8)
     n = len(arr)
@@ -357,10 +394,17 @@ def decompress(payload: bytes, symbols: list[bytes]) -> bytes:
     symmat = np.zeros((256, MAX_SYMBOL_LEN), dtype=np.uint8)
     for i, s in enumerate(symbols):
         symmat[i, : len(s)] = np.frombuffer(s, dtype=np.uint8)
-    sym8 = symmat.view("<u8").reshape(-1)
+    symmat_codes = arr[code_mask]
+    starts_codes = starts[code_mask]
     out_pad = np.empty(total + MAX_SYMBOL_LEN, dtype=np.uint8)
-    ov = np.ndarray(buffer=out_pad, shape=(total + 1,), strides=(1,), dtype="<u8")
-    ov[starts[code_mask]] = sym8[arr[code_mask]]
+    if _OVERLAP_STORE_OK:
+        sym8 = symmat.view("<u8").reshape(-1)
+        ov = np.ndarray(
+            buffer=out_pad, shape=(total + 1,), strides=(1,), dtype="<u8"
+        )
+        ov[starts_codes] = sym8[symmat_codes]
+    else:  # pragma: no cover - exercised only if a NumPy build reorders
+        _scatter_codes_grouped(out_pad, starts_codes, symmat_codes, symmat, symlen)
     out = out_pad[:total]
     out[starts[lit_mask]] = arr[lit_mask]
     return out.tobytes()

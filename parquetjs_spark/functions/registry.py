@@ -87,12 +87,6 @@ _SEEDED_ORACLE_SRC = (
 )
 
 
-def q_exact_dup_groups(spark, sf_dir):
-    from . import dedup
-
-    return dedup.exact_dup_groups(_docs(spark, sf_dir))
-
-
 def q_exact_dup_groups_seeded(spark, sf_dir):
     from . import dedup
 
@@ -117,12 +111,6 @@ def q_char_jaccard_adjacent(spark, sf_dir):
     return dedup.char_jaccard_adjacent(_docs(spark, sf_dir))
 
 
-def q_minhash_dedup_pairs(spark, sf_dir):
-    from . import dedup
-
-    return dedup.minhash_dedup_pairs(_docs(spark, sf_dir))
-
-
 def q_simhash_fingerprints(spark, sf_dir):
     from . import dedup
 
@@ -136,16 +124,6 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
 
 
 # --- similarity -------------------------------------------------------------
-
-
-def q_emb_dims(spark, sf_dir):
-    from pyspark.sql import functions as F
-
-    return (
-        _embs(spark, sf_dir)
-        .select(F.size("embedding").cast("long").alias("dim"))
-        .distinct()
-    )
 
 
 def q_emb_label_counts(spark, sf_dir):
@@ -274,22 +252,15 @@ def _lang_id_oracle() -> str:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDER MATTERS (driver records the first 50 overall): the
+    # similarity/ANN/multimodal block goes first — in round 2 it sat at
+    # the tail of a 63-entry dict and got no correctness rows at all.
+    # Dropped for budget (each operator stays covered by another row):
+    # exact_dup_groups + minhash_dedup_pairs unseeded (vacuous/weaker
+    # twins of the *_seeded rows) and emb_dims (trivial sanity query).
     return {
-        "doc_token_counts": q_doc_token_counts,
-        "doc_token_counts_bpe": q_doc_token_counts_bpe,
-        "doc_quality": q_doc_quality,
-        "doc_fingerprints": q_doc_fingerprints,
-        "doc_lang_id": q_doc_lang_id,
-        "doc_rolling_fp": q_doc_rolling_fp,
-        "exact_dup_groups": q_exact_dup_groups,
-        "exact_dup_groups_seeded": q_exact_dup_groups_seeded,
-        "minhash_dedup_pairs_seeded": q_minhash_dedup_pairs_seeded,
-        "distinct_doc_count": q_distinct_doc_count,
-        "char_jaccard_adjacent": q_char_jaccard_adjacent,
-        "minhash_dedup_pairs": q_minhash_dedup_pairs,
         "simhash_fingerprints": q_simhash_fingerprints,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-        "emb_dims": q_emb_dims,
         "emb_label_counts": q_emb_label_counts,
         "emb_topk_vec0": q_emb_topk_vec0,
         "emb_lsh_topk_vec0": q_emb_lsh_topk_vec0,
@@ -300,6 +271,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_resize": q_media_resize,
         "media_frame_sample": q_media_frame_sample,
         "media_features": q_media_features,
+        "doc_token_counts": q_doc_token_counts,
+        "doc_token_counts_bpe": q_doc_token_counts_bpe,
+        "doc_quality": q_doc_quality,
+        "doc_fingerprints": q_doc_fingerprints,
+        "doc_lang_id": q_doc_lang_id,
+        "doc_rolling_fp": q_doc_rolling_fp,
+        "exact_dup_groups_seeded": q_exact_dup_groups_seeded,
+        "minhash_dedup_pairs_seeded": q_minhash_dedup_pairs_seeded,
+        "distinct_doc_count": q_distinct_doc_count,
+        "char_jaccard_adjacent": q_char_jaccard_adjacent,
     }
 
 
@@ -323,10 +304,6 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_lang_id": _lang_id_oracle(),
         # doc_rolling_fp: custom xxhash64 rolling hash -> rows-only
-        "exact_dup_groups": (
-            "SELECT text, COUNT(*) AS dup_count FROM documents "
-            "GROUP BY text HAVING COUNT(*) > 1"
-        ),
         "exact_dup_groups_seeded": (
             f"SELECT text, COUNT(*) AS dup_count FROM {_SEEDED_ORACLE_SRC} "
             "GROUP BY text HAVING COUNT(*) > 1"
@@ -344,7 +321,6 @@ def oracle_sql() -> dict[str, str]:
             "ON b.doc_id = a.doc_id + 1"
         ),
         # minhash/simhash/ngram pairs: custom stable hashing -> rows-only
-        "emb_dims": "SELECT DISTINCT CAST(len(embedding) AS BIGINT) AS dim FROM embeddings",
         "emb_label_counts": (
             "SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label"
         ),

@@ -109,3 +109,28 @@ def test_empty_and_all_null():
     assert stats["n"] == 0 and len(out) == 0
     out, stats = rt(pa.array([None, None], type=pa.string()), "string")
     assert stats["n_nulls"] == 2 and out.null_count == 2
+
+
+def test_arrow_cached_flba_revalidated_on_varlen_chunk():
+    state: dict = {}
+    rng = np.random.default_rng(11)
+    fixed = pa.array([bytes(rng.integers(0, 256, 16, dtype=np.uint8)) for _ in range(512)], type=pa.binary())
+    _, s1 = arrow_chunk.encode_arrow_column(fixed, "binary", fsst_state=state)
+    assert s1["codec"] == "FLBA"
+    varlen = pa.array([b"y" * 16] * 511 + [b"tiny"], type=pa.binary())
+    blob2, s2 = arrow_chunk.encode_arrow_column(varlen, "binary", fsst_state=state)
+    assert s2["codec"] != "FLBA"
+    out, _ = arrow_chunk.decode_arrow_column(blob2)
+    assert out.to_pylist() == varlen.to_pylist()
+
+
+def test_float_stats_unprunable_when_nan_present():
+    """NaN-containing float chunks must carry no zone-map stats: arrow
+    min_max skips NaN while Spark sorts NaN above all values, so pruned
+    and unpruned scans would disagree (ADVICE r2)."""
+    all_nan = pa.array([float("nan")] * 10, type=pa.float64())
+    assert arrow_chunk._column_stats(all_nan, "float64") == (None, None)
+    some_nan = pa.array([1.0, float("nan"), 2.0], type=pa.float64())
+    assert arrow_chunk._column_stats(some_nan, "float64") == (None, None)
+    clean = pa.array([1.0, 2.0], type=pa.float64())
+    assert arrow_chunk._column_stats(clean, "float64") == ("1.0", "2.0")

@@ -205,3 +205,36 @@ def test_compression_auto_small_numeric_picks_best():
     assert stats["compression"] in ("ZSTD", "ZLIB", "UNCOMPRESSED")
     out, _ = chunk.decode_chunk(blob)
     assert out.tolist() == s.tolist()
+
+
+def test_cached_rle_selection_revalidated_on_negative_chunk():
+    """A cached RLE pick must not crash a later chunk that violates the
+    non-negativity precondition (ADVICE r2: valid input -> ValueError)."""
+    state: dict = {}
+    rle_friendly = pd.Series(np.repeat(np.arange(8, dtype=np.int64), 600))
+    blob1, s1 = chunk.encode_chunk(rle_friendly, "int64", fsst_state=state)
+    assert s1["codec"] == RLE  # precondition of the scenario
+    with_neg = pd.Series(np.arange(-5, 4995, dtype=np.int64))
+    blob2, s2 = chunk.encode_chunk(with_neg, "int64", fsst_state=state)
+    assert s2["codec"] != RLE
+    out, _ = chunk.decode_chunk(blob2)
+    assert out.tolist() == with_neg.tolist()
+    # and a following RLE-friendly chunk still round-trips
+    blob3, _ = chunk.encode_chunk(rle_friendly, "int64", fsst_state=state)
+    out3, _ = chunk.decode_chunk(blob3)
+    assert out3.tolist() == rle_friendly.tolist()
+
+
+def test_cached_flba_selection_revalidated_on_varlen_chunk():
+    """A cached FLBA pick must not crash a later chunk with one
+    variable-length value (ADVICE r2)."""
+    state: dict = {}
+    rng = np.random.default_rng(11)
+    fixed = pd.Series([bytes(rng.integers(0, 256, 16, dtype=np.uint8)) for _ in range(512)])
+    blob1, s1 = chunk.encode_chunk(fixed, "binary", fsst_state=state)
+    assert s1["codec"] == "FLBA"
+    varlen = pd.Series([b"x" * 16] * 511 + [b"short"])
+    blob2, s2 = chunk.encode_chunk(varlen, "binary", fsst_state=state)
+    assert s2["codec"] != "FLBA"
+    out, _ = chunk.decode_chunk(blob2)
+    assert out.tolist() == varlen.tolist()

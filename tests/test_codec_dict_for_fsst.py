@@ -161,3 +161,22 @@ def test_fsst_decode_randomized_vs_reference():
         table = fsst.train(data[: 1 << 14])
         payload = fsst.compress(data, table)
         assert fsst.decompress(payload, table) == data
+
+
+def test_fsst_overlap_pin_check_and_fallback_agree():
+    """The import-time pin check must hold on this NumPy build, and the
+    order-independent fallback scatter must produce identical output to
+    the overlapping-store fast path."""
+    assert fsst._OVERLAP_STORE_OK
+    rng = np.random.default_rng(7)
+    text = (b"the quick brown fox jumps over the lazy dog " * 200) + bytes(
+        rng.integers(0, 256, 500, dtype=np.uint8)
+    )
+    table = fsst.train(text)
+    payload = fsst.compress(text, table)
+    fast = fsst.decompress(payload, table)
+    import unittest.mock as mock
+
+    with mock.patch.object(fsst, "_OVERLAP_STORE_OK", False):
+        slow = fsst.decompress(payload, table)
+    assert fast == slow == text

@@ -1,0 +1,58 @@
+"""Driver-contract invariants for __spark_entry__.py.
+
+The driver records correctness rows for the FIRST 50 queries only; in
+round 2 the registry grew to 63 and all 13 similarity/ANN/multimodal
+queries at the tail silently got no verification.  These tests pin the
+budget and the registry shape without needing a SparkSession.
+"""
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entry
+
+DRIVER_QUERY_BUDGET = 50
+
+
+def test_queries_fit_driver_budget():
+    qs = entry.queries()
+    assert len(qs) <= DRIVER_QUERY_BUDGET, (
+        f"{len(qs)} queries > driver budget {DRIVER_QUERY_BUDGET}: the "
+        "overflow would silently get no correctness rows — fold or drop "
+        "redundant round-trips instead of appending"
+    )
+
+
+def test_every_oracle_has_a_query():
+    qs = entry.queries()
+    orphans = [k for k in entry.oracle_sql() if k not in qs]
+    assert not orphans, f"oracle_sql keys without queries: {orphans}"
+
+
+def test_never_verified_ops_lead_the_window():
+    """The similarity/ANN/multimodal block (no rows in round 2) must sit
+    inside the recorded window — i.e. at the front."""
+    names = list(entry.queries())
+    must_run = [
+        "simhash_fingerprints",
+        "ngram_jaccard_pairs",
+        "emb_topk_vec0",
+        "emb_lsh_topk_vec0",
+        "emb_ivf_topk_vec0",
+        "emb_near_dup_pairs",
+        "media_metadata",
+        "media_resize",
+        "media_frame_sample",
+        "media_features",
+        "rt_flba_digest",
+        "rt_decimal_price",
+    ]
+    for q in must_run:
+        assert q in names, f"missing query {q}"
+        assert names.index(q) < DRIVER_QUERY_BUDGET
+
+
+def test_queries_are_callables():
+    for name, fn in entry.queries().items():
+        assert callable(fn), name
