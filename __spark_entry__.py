@@ -291,6 +291,34 @@ def _q_rt_auto_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.roundtrip_column(df, "big")
 
 
+def _q_rt_arrarr_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level repetition round-trip (rLevelMax > 1 — the reference's
+    nested-repeated shapes, /root/reference/lib/shred.js:75-135 recursion,
+    test/shred.js nested-repeated cases): an array<array<double>> column
+    shreds each list level into a count stream + recursive inner chunk;
+    decoded values projected to scalars for the oracle."""
+    from pyspark.sql import functions as F
+
+    from parquetjs_spark import pipeline
+
+    df = _load(spark, sf_dir, "lineitem").select(
+        F.array(
+            F.array(F.col("l_quantity")),
+            F.array(F.col("l_quantity") * 2, F.col("l_quantity") + 1),
+        ).alias("qmat"),
+        "l_orderkey",
+    )
+    out = pipeline.roundtrip_table(df)
+    inner2 = F.element_at("qmat", 2)
+    return out.select(
+        F.element_at(F.element_at("qmat", 1), 1).alias("a"),
+        F.element_at(inner2, 1).alias("b"),
+        F.element_at(inner2, 2).alias("c"),
+        F.size(inner2).cast("long").alias("n_inner"),
+        "l_orderkey",
+    )
+
+
 def _q_rt_array_emb_elem0(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repeated-field (array<float>) round-trip — Dremel L3/L4
     re-expression — projected to scalars so the oracle can hash it."""
@@ -321,6 +349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["rt_flba_digest"] = _q_rt_flba_digest
     out["rt_decimal_price"] = _q_rt_decimal_price
     out["rt_auto_bool"] = _q_rt_auto_bool
+    out["rt_arrarr_qty"] = _q_rt_arrarr_qty
 
     # long-green core
     for name, table, column, codec in _ROUNDTRIPS:
@@ -376,6 +405,10 @@ def oracle_sql() -> dict[str, str]:
         "FROM lineitem"
     )
     out["rt_auto_bool"] = "SELECT l_quantity > 25 AS big FROM lineitem"
+    out["rt_arrarr_qty"] = (
+        "SELECT l_quantity AS a, l_quantity * 2 AS b, l_quantity + 1 AS c, "
+        "CAST(2 AS BIGINT) AS n_inner, l_orderkey FROM lineitem"
+    )
     out["rt_arrstruct_lineitem"] = (
         "SELECT l_linenumber AS n0, l_quantity * 2 AS q1, "
         "CAST(2 AS BIGINT) AS sz, l_orderkey FROM lineitem"

@@ -367,6 +367,16 @@ _PA_TYPES = {
 }
 
 
+def pa_type_of(dtype: str) -> pa.DataType:
+    """Arrow type for a logical dtype string, recursive over list_ depth."""
+    if dtype.startswith("list_"):
+        return pa.list_(pa_type_of(dtype[len("list_") :]))
+    if dtype.startswith("decimal("):
+        p, s = dtype[len("decimal(") : -1].split(",")
+        return pa.decimal128(int(p), int(s))
+    return _PA_TYPES[dtype]
+
+
 def _values_to_arrow(values, valid: np.ndarray, dtype: str) -> pa.Array:
     n = len(valid)
     has_nulls = not valid.all()
@@ -422,11 +432,11 @@ def _canonical_sha256_block(values, valid: np.ndarray, dtype: str) -> str:
 # --------------------------------------------------------------------------
 
 
-def _list_parts(arr: pa.Array, dtype: str):
-    """Split a ListArray into (lens int64[nn], flat_values, elem_valid,
-    valid) — the one-level Dremel pivot (repetition levels collapse to
-    per-row counts when rLevelMax=1; element validity is the inner
-    definition level; /root/reference/lib/shred.js:100-135 semantics)."""
+def _split_list(arr: pa.Array):
+    """ListArray -> (per-row lens of NON-NULL rows, flat child array
+    incl. element nulls, row validity) — the repetition-level pivot:
+    r-levels collapse to per-row counts at each nesting level
+    (/root/reference/lib/shred.js:75-135 semantics)."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     if arr.null_count:
@@ -438,7 +448,15 @@ def _list_parts(arr: pa.Array, dtype: str):
     if isinstance(nn, pa.ChunkedArray):
         nn = nn.combine_chunks()
     lens = pc.list_value_length(nn).to_numpy(zero_copy_only=False).astype(np.int64)
-    flat = nn.flatten()
+    return lens, nn.flatten(), valid
+
+
+def _list_parts(arr: pa.Array, dtype: str):
+    """Split a ListArray into (lens int64[nn], flat_values, elem_valid,
+    valid) — the one-level Dremel pivot (repetition levels collapse to
+    per-row counts when rLevelMax=1; element validity is the inner
+    definition level; /root/reference/lib/shred.js:100-135 semantics)."""
+    lens, flat, valid = _split_list(arr)
     elem_dtype = dtype[len("list_") :]
     # _arrow_to_values drops element nulls and returns their validity
     elem_values, elem_valid = _arrow_to_values(flat, elem_dtype)
@@ -464,6 +482,74 @@ def _canonical_sha256_list(
     return h.hexdigest()
 
 
+def _canonical_sha256_nested(
+    lens: np.ndarray, inner_sha: str, valid: np.ndarray
+) -> str:
+    h = hashlib.sha256(inner_sha.encode("ascii"))
+    h.update(b"|")
+    h.update(lens.astype("<i8").tobytes())
+    h.update(b"|")
+    h.update(np.packbits(valid.view(np.uint8), bitorder="little").tobytes())
+    return h.hexdigest()
+
+
+def _encode_nested_list_column(
+    arr: pa.Array, dtype: str, codec: str, fsst_state: dict | None
+):
+    """Multi-level repetition (rLevelMax > 1 — the reference's
+    nested-repeated shred recursion, /root/reference/lib/shred.js:75-135):
+    each list level peels one count stream off and recurses on the
+    flattened child, which is a complete embedded chunk blob carrying its
+    own dtype/levels (so inner-list nulls ride the inner blob's own
+    definition levels).  Payload: u32 lens_len ++ FOR-packed outer
+    per-row counts ++ u32 inner_len ++ inner chunk blob.  The inner blob
+    is stored UNCOMPRESSED — the OUTER block compression spans the whole
+    payload once (no double compression)."""
+    lens, flat, valid = _split_list(arr)
+    elem_dtype = dtype[len("list_") :]
+    inner_blob, inner_stats = encode_arrow_column(
+        flat, elem_dtype, codec=codec, compression="UNCOMPRESSED",
+        fsst_state=fsst_state,
+    )
+    lens_enc = for_bp.encode(lens)
+    values_raw = (
+        len(lens_enc).to_bytes(4, "little")
+        + lens_enc
+        + len(inner_blob).to_bytes(4, "little")
+        + inner_blob
+    )
+    sha = _canonical_sha256_nested(lens, inner_stats["sha256"], valid)
+    content = inner_stats["content_bytes"] + 8 * len(lens)
+    return (
+        values_raw, valid, inner_stats["codec"], content, sha,
+        inner_stats.get("selector", {}),
+    )
+
+
+def _decode_nested_list_column(
+    values_raw: bytes, nn: int, valid: np.ndarray
+) -> tuple[pa.Array, str]:
+    mv = memoryview(values_raw)
+    lens_len = int.from_bytes(bytes(mv[:4]), "little")
+    lens = for_bp.decode(mv[4 : 4 + lens_len], nn)
+    pos = 4 + lens_len
+    inner_len = int.from_bytes(bytes(mv[pos : pos + 4]), "little")
+    child, child_dtype = decode_arrow_column(mv[pos + 4 : pos + 4 + inner_len])
+    if int(lens.sum()) >= 2**31:
+        raise ValueError(
+            "list chunk flattens to >= 2^31 elements; reduce chunk_rows"
+        )
+    offsets = np.zeros(nn + 1, dtype=np.int32)
+    np.cumsum(lens, out=offsets[1:])
+    dense = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), child)
+    dtype = f"list_{child_dtype}"
+    if valid.all():
+        return dense, dtype
+    idx = np.full(len(valid), -1, dtype=np.int64)
+    idx[valid] = np.arange(nn)
+    return dense.take(pa.array(idx, mask=~valid)), dtype
+
+
 def _encode_list_column(
     arr: pa.Array, dtype: str, codec: str, fsst_state: dict | None
 ):
@@ -471,6 +557,8 @@ def _encode_list_column(
     u32 evalid_len ++ element-validity RLE (w=1; len 0 = no element
     nulls) ++ flattened NON-NULL elements under a scalar codec
     (recorded in the chunk codec byte)."""
+    if dtype[len("list_") :].startswith("list_"):
+        return _encode_nested_list_column(arr, dtype, codec, fsst_state)
     lens, elem_values, elem_valid, valid, elem_dtype = _list_parts(arr, dtype)
     sel_info: dict = {}
     if elem_dtype == "bool":
@@ -787,6 +875,8 @@ def decode_arrow_column(blob: bytes | memoryview) -> tuple[pa.Array, str]:
             _decimal_to_arrow(np.asarray(vals, dtype=np.int64), valid, p, sc),
             f"decimal({p},{sc})",
         )
+    if dtype == "list_nested":
+        return _decode_nested_list_column(values_raw, nn, valid)
     if dtype.startswith("list_"):
         return _decode_list_column(values_raw, nn, dtype, codec, valid), dtype
     if dtype in ("string", "binary"):
@@ -807,16 +897,25 @@ def decode_arrow_column(blob: bytes | memoryview) -> tuple[pa.Array, str]:
     return _values_to_arrow(vals, valid, dtype), dtype
 
 
-def verify_arrow(blob: bytes, expected_sha: str) -> bool:
-    arr, dtype = decode_arrow_column(blob)
+def arrow_canonical_sha(arr: pa.Array, dtype: str) -> str:
+    """Canonical sha256 of a decoded arrow column — matches the value the
+    encoder recorded for the same data (recursive over nesting depth)."""
     if dtype.startswith("decimal("):
         vals, valid = _decimal_parts(arr)
-        return _canonical_sha256_block(vals, valid, "int64") == expected_sha
+        return _canonical_sha256_block(vals, valid, "int64")
     if dtype.startswith("list_"):
+        elem_dtype = dtype[len("list_") :]
+        if elem_dtype.startswith("list_"):
+            lens, flat, valid = _split_list(arr)
+            return _canonical_sha256_nested(
+                lens, arrow_canonical_sha(flat, elem_dtype), valid
+            )
         lens, elem_values, elem_valid, valid, elem_dtype = _list_parts(arr, dtype)
-        return (
-            _canonical_sha256_list(lens, elem_values, elem_valid, valid, elem_dtype)
-            == expected_sha
-        )
+        return _canonical_sha256_list(lens, elem_values, elem_valid, valid, elem_dtype)
     values, valid = _arrow_to_values(arr, dtype)
-    return _canonical_sha256_block(values, valid, dtype) == expected_sha
+    return _canonical_sha256_block(values, valid, dtype)
+
+
+def verify_arrow(blob: bytes, expected_sha: str) -> bool:
+    arr, dtype = decode_arrow_column(blob)
+    return arrow_canonical_sha(arr, dtype) == expected_sha

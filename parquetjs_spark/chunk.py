@@ -81,15 +81,26 @@ DTYPE_IDS = {
     # DECIMAL entirely — parquet.thrift:79 enum only, no lib/types.js
     # entry — this is a Spark-first extension)
     "decimal": 14,
+    # multi-level repetition (Dremel rLevelMax > 1, the reference's
+    # nested-repeated shapes — /root/reference/lib/shred.js:75-135
+    # recursion, test/shred.js nested-repeated cases): one id for ANY
+    # list-of-list dtype ("list_list_int64", "list_list_list_string",
+    # ...).  The values payload is outer per-row counts + a complete
+    # recursive inner chunk blob, which carries its own dtype byte —
+    # so the id does not need to encode the element type or depth.
+    "list_nested": 17,
 }
 DTYPE_NAMES = {v: k for k, v in DTYPE_IDS.items()}
 
 
 def dtype_id(dtype: str) -> int:
     # chunk-header id; parametrized decimals share one id (p/s travel
-    # in the values header)
+    # in the values header), nested lists share one id (the element
+    # dtype travels in the embedded inner chunk's own header)
     if dtype.startswith("decimal("):
         return DTYPE_IDS["decimal"]
+    if dtype.startswith("list_list_"):
+        return DTYPE_IDS["list_nested"]
     return DTYPE_IDS[dtype]
 
 _INT_LIKE = {"int64", "int32", "date", "timestamp_us", "bool"}
@@ -477,15 +488,7 @@ def encode_chunk(
 
         from . import arrow_chunk
 
-        if dtype.startswith("decimal("):
-            prec, sc = (int(x) for x in dtype[len("decimal(") : -1].split(","))
-            arr = pa.array(series.tolist(), type=pa.decimal128(prec, sc))
-        else:
-            elem = dtype[len("list_") :]
-            pa_elem = {"int64": pa.int64(), "int32": pa.int32(), "float64": pa.float64(),
-                       "float32": pa.float32(), "string": pa.string(),
-                       "bool": pa.bool_(), "binary": pa.binary()}[elem]
-            arr = pa.array(series.tolist(), type=pa.list_(pa_elem))
+        arr = pa.array(series.tolist(), type=arrow_chunk.pa_type_of(dtype))
         return arrow_chunk.encode_arrow_column(
             arr, dtype, codec=codec, compression=compression, fsst_state=fsst_state
         )

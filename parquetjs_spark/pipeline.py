@@ -69,12 +69,7 @@ _LIST_ELEMS = {"int64", "int32", "float64", "float32", "string", "bool", "binary
 
 
 def _pa_type_of(dtype: str) -> "pa.DataType":
-    if dtype.startswith("list_"):
-        return pa.list_(_LOGICAL_TO_PA[dtype[len("list_") :]])
-    if dtype.startswith("decimal("):
-        p, s = dtype[len("decimal(") : -1].split(",")
-        return pa.decimal128(int(p), int(s))
-    return _LOGICAL_TO_PA[dtype]
+    return arrow_chunk.pa_type_of(dtype)
 
 
 def logical_dtype(spark_type: T.DataType) -> str:
@@ -86,11 +81,14 @@ def logical_dtype(spark_type: T.DataType) -> str:
     if isinstance(spark_type, T.ArrayType):
         if isinstance(spark_type.elementType, T.StructType):
             raise ValueError(
-                "array<struct> (repeated groups, rLevelMax>1) is not "
-                "supported; flatten to parallel arrays upstream"
+                "array<struct> must go through flatten_struct_columns "
+                "(encode_columns does this); it cannot ride a single "
+                "leaf chunk"
             )
         elem = logical_dtype(spark_type.elementType)
-        if elem not in _LIST_ELEMS:
+        # nested arrays (rLevelMax > 1, e.g. array<array<float>> token
+        # embeddings) recurse: each level is one "list_" prefix
+        if elem not in _LIST_ELEMS and not elem.startswith("list_"):
             raise ValueError(f"unsupported array element type: {elem}")
         return f"list_{elem}"
     if isinstance(spark_type, T.DecimalType):
@@ -158,14 +156,19 @@ def _flatten_arrstruct(path: str, col, st: T.StructType, out: list, extract) -> 
         fpath = f"{path}.{f.name}"
         if isinstance(f.dataType, T.StructType):
             _flatten_arrstruct(fpath, col, f.dataType, out, sub)
-        elif isinstance(f.dataType, T.ArrayType):
+        elif isinstance(f.dataType, T.ArrayType) and isinstance(
+            f.dataType.elementType, T.StructType
+        ):
             raise ValueError(
-                "nested repeated fields (array inside array<struct>, "
-                "rLevelMax>1) are not supported"
+                "array<struct> inside array<struct> is not supported; "
+                "flatten the inner group to parallel arrays upstream"
             )
         else:
+            # scalar field -> parallel list leaf; array field (incl.
+            # nested arrays) -> list-of-list leaf (rLevelMax > 1 rides
+            # the nested-list chunk wire)
             elem = logical_dtype(f.dataType)
-            if elem not in _LIST_ELEMS:
+            if elem not in _LIST_ELEMS and not elem.startswith("list_"):
                 raise ValueError(
                     f"unsupported array<struct> field type: {elem}"
                 )
@@ -329,7 +332,7 @@ def _assemble_node(node, decoded: dict, pa_types: dict) -> pa.Array:
 
 def spark_type_of(dtype: str) -> T.DataType:
     if dtype.startswith("list_"):
-        return T.ArrayType(_LOGICAL_TO_SPARK[dtype[len("list_") :]])
+        return T.ArrayType(spark_type_of(dtype[len("list_") :]))
     if dtype.startswith("decimal("):
         p, s = dtype[len("decimal(") : -1].split(",")
         return T.DecimalType(int(p), int(s))

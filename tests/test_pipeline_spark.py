@@ -234,13 +234,34 @@ def test_list_element_nulls_roundtrip(spark):
     assert sorted(map(repr, out.collect())) == sorted(map(repr, df.collect()))
 
 
-def test_nested_repeated_rejected(spark):
+def test_nested_repeated_roundtrip(spark):
+    """array inside array<struct> (rLevelMax > 1) — supported since the
+    nested-list chunk wire landed (round 3); previously rejected."""
     from pyspark.sql import Row
 
     df = spark.createDataFrame(
-        [Row(id=1, xs=[Row(a=[1, 2])])], "id long, xs array<struct<a: array<long>>>"
+        [
+            Row(id=1, xs=[Row(a=[1, 2]), Row(a=[])]),
+            Row(id=2, xs=[]),
+            Row(id=3, xs=[Row(a=[3])]),
+        ],
+        "id long, xs array<struct<a: array<long>>>",
     )
-    with pytest.raises(Exception, match="nested repeated"):
+    out = pipeline.roundtrip_table(df)
+    got = sorted(
+        (r["id"], tuple(tuple(e["a"]) for e in r["xs"])) for r in out.collect()
+    )
+    assert got == [(1, ((1, 2), ())), (2, ()), (3, ((3,),))]
+
+
+def test_arrstruct_inside_arrstruct_rejected(spark):
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [Row(id=1, xs=[Row(ys=[Row(a=1)])])],
+        "id long, xs array<struct<ys: array<struct<a: long>>>>",
+    )
+    with pytest.raises(Exception, match="array<struct> inside"):
         pipeline.encode_columns(df).collect()
 
 
