@@ -221,7 +221,7 @@ def _q_scan_orderkey_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("l_orderkey")
     )
     blobs = pipeline.encode_columns(df)
-    return pipeline.scan_column(blobs, "l_orderkey", lo=100, hi=5000)
+    return pipeline.scan_column(blobs, "l_orderkey", lo=100, hi=5000, dtype="int64")
 
 
 def _q_scan_table_range(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -234,7 +234,9 @@ def _q_scan_table_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("l_orderkey")
     )
     blobs = pipeline.encode_columns(df)
-    return pipeline.scan_table(blobs, "l_orderkey", lo=100, hi=5000)
+    return pipeline.scan_table(
+        blobs, "l_orderkey", lo=100, hi=5000, pred_dtype="int64"
+    )
 
 
 def _q_rt_decimal_price(spark: SparkSession, sf_dir: str) -> DataFrame:

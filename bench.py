@@ -32,16 +32,20 @@ def _steal_s() -> float:
 
 
 def timed(fn):
-    """Best of up to 4 runs, stopping early once a run lands in a quiet
-    window.  Two effects are being excluded, both absent from an
-    hours-long production job: the first execution of each plan shape
-    pays one-time JVM codegen/AQE compile costs, and this shared
-    Firecracker host suffers episodic hypervisor steal (measured: the
-    same dedup query runs 2.2 s at 0.1 steal-s and 9.5 s at 13.7
-    steal-s).  A run with < 1 s of recorded steal is accepted as-is."""
+    """Best of 3-5 runs.  Two effects are being excluded, both absent
+    from an hours-long production job: the first execution of each plan
+    shape pays one-time JVM codegen/AQE compile costs, and this shared
+    Firecracker host suffers episodic contention — hypervisor steal
+    (measured: the same dedup query runs 2.2 s at 0.1 steal-s and 9.5 s
+    at 13.7 steal-s) AND neighbor memory-bandwidth pressure that shows
+    no steal at all (q3/q4 swing 2x between adjacent runs with <0.1
+    steal-s recorded).  Because the second effect is invisible to
+    /proc/stat, a quiet-steal run cannot be trusted on its own: always
+    take the best of at least 3 runs, extending to 5 while steal is
+    dirty."""
     best = None
     out = None
-    for attempt in range(4):
+    for attempt in range(5):
         s0 = _steal_s()
         t0 = time.perf_counter()
         out = fn()
@@ -49,7 +53,7 @@ def timed(fn):
         stolen = _steal_s() - s0
         if best is None or t < best:
             best = t
-        if attempt >= 1 and stolen < 1.0:
+        if attempt >= 2 and stolen < 1.0:
             break
     return out, best
 
@@ -212,6 +216,10 @@ def main():
 
         return similarity.topk_for_id(embs, 0, 10).collect()
 
+    # warm-up like q4/q6: the first execution of this plan shape pays
+    # ~0.7 s of one-time codegen — round 2 recorded exactly one such
+    # cold draw (1.18 s vs 0.45 s warm) as the best-of run
+    q7()
     _, queries["q7_ann_topk"] = timed(q7)
 
     total = sum(queries.values())

@@ -94,6 +94,26 @@ class StrBlock:
         )
 
 
+def binary_views(arr: pa.Array) -> list[memoryview]:
+    """Zero-copy memoryview per value of a (non-null) binary array —
+    replaces per-value ``.as_py()`` on the decode/verify hot path, which
+    memcpy'd every compressed blob once before decoding it."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    t = arr.type
+    off_dtype = (
+        np.int64
+        if pa.types.is_large_binary(t) or pa.types.is_large_string(t)
+        else np.int32
+    )
+    bufs = arr.buffers()
+    offs = np.frombuffer(
+        bufs[1], dtype=off_dtype, count=len(arr) + 1 + arr.offset
+    )[arr.offset :]
+    data = memoryview(bufs[2])
+    return [data[offs[i] : offs[i + 1]] for i in range(len(arr))]
+
+
 def _strblock_from_pa(arr: pa.Array) -> StrBlock:
     """arr must contain no nulls (drop_null upstream). Zero-copy where the
     arrow layout allows."""

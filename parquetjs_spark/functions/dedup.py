@@ -198,12 +198,13 @@ def minhash_dedup_pairs(
     signature agreement >= threshold (estimate of Jaccard).
 
     Scale note: the signature DataFrame is referenced three times
-    (banding + the two verify joins); pass a persisted ``sigs`` at
-    cluster scale to avoid recomputing the text scan per reference —
-    e.g. ``sigs = minhash_signatures(docs).persist()``."""
+    (banding + the two verify joins), so when this function builds it
+    itself it persists it (MEMORY_AND_DISK) — the text scan + hashing
+    runs once, not three times.  Callers managing their own lifecycle
+    can pass ``sigs`` explicitly (persisted or not) instead."""
     rows_per_band = num_hashes // bands
     if sigs is None:
-        sigs = minhash_signatures(docs, num_hashes)
+        sigs = minhash_signatures(docs, num_hashes).persist()
     cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
     sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))

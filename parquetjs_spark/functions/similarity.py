@@ -118,8 +118,10 @@ def lsh_topk_for_id(
     buckets hold most of the lost neighbors), then exact re-rank.
     At scale the bucket filter prunes ~(1+probes)/2^n_planes of the
     table before any exact math; probes trades recall for candidates
-    without re-hashing (default: all n_planes Hamming-1 buckets)."""
-    sigs = lsh_signatures(embeddings, n_planes)
+    without re-hashing (default: all n_planes Hamming-1 buckets).
+    ``sigs`` is referenced twice (query lookup + candidate filter), so
+    it is persisted here — signatures compute once."""
+    sigs = lsh_signatures(embeddings, n_planes).persist()
     qrow = sigs.where(F.col("vec_id") == query_id).head()
     if qrow is None:
         raise ValueError(f"vec_id {query_id} not found")

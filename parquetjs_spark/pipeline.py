@@ -590,9 +590,9 @@ def decode_column(
 
     def decode_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for rb in batches:
-            data_col = rb.column(0)
-            for i in range(rb.num_rows):
-                arr, _ = arrow_chunk.decode_arrow_column(data_col[i].as_py())
+            # zero-copy views into the arrow buffer (no per-blob memcpy)
+            for blob in arrow_chunk.binary_views(rb.column(0)):
+                arr, _ = arrow_chunk.decode_arrow_column(blob)
                 if arr.type != pa_type:
                     arr = arr.cast(pa_type)
                 yield pa.RecordBatch.from_arrays([arr], names=[out_name])
@@ -675,10 +675,10 @@ def decode_table(blob_df: DataFrame, columns: list[str] | None = None) -> DataFr
 
     def assemble(group: pa.Table) -> pa.Table:
         names = group.column("column").to_pylist()
-        blobs = group.column("data")
+        blobs = arrow_chunk.binary_views(group.column("data"))
         decoded: dict[str, pa.Array] = {}
         for i, name in enumerate(names):
-            arr, _ = arrow_chunk.decode_arrow_column(blobs[i].as_py())
+            arr, _ = arrow_chunk.decode_arrow_column(blobs[i])
             decoded[name] = arr
         absent = [c for c in flat_names if c not in decoded]
         if absent:
@@ -789,6 +789,7 @@ def scan_table(
     lo=None,
     hi=None,
     columns: list[str] | None = None,
+    pred_dtype: str | None = None,
 ) -> DataFrame:
     """Row-group-pruned table scan: zone maps on ``predicate_column``
     select the (part_id, chunk_seq) row groups that can satisfy
@@ -800,10 +801,15 @@ def scan_table(
         if stat_col not in blob_df.columns:
             blob_df = blob_df.withColumn(stat_col, F.lit(None).cast("string"))
     pred_rows = blob_df.where(F.col("column") == predicate_column)
-    drow = pred_rows.select("dtype").limit(1).collect()
-    if not drow:
-        raise ValueError(f"no chunks for column {predicate_column}")
-    styp = spark_type_of(drow[0][0])
+    if pred_dtype is None:
+        # dtype is constant per column; callers that know it (manifest
+        # in hand, or the CLI's resolver) should pass pred_dtype and
+        # skip this one-row job
+        drow = pred_rows.select("dtype").limit(1).collect()
+        if not drow:
+            raise ValueError(f"no chunks for column {predicate_column}")
+        pred_dtype = drow[0][0]
+    styp = spark_type_of(pred_dtype)
     if lo is not None:
         pred_rows = pred_rows.where(
             F.col("stat_max").isNull()
@@ -848,10 +854,10 @@ def verify_blobs(blob_df: DataFrame) -> DataFrame:
 
     def verify_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for rb in batches:
-            blobs = rb.column("data")
+            blobs = arrow_chunk.binary_views(rb.column("data"))
             shas = rb.column("sha256")
             oks = [
-                arrow_chunk.verify_arrow(blobs[i].as_py(), shas[i].as_py())
+                arrow_chunk.verify_arrow(blobs[i], shas[i].as_py())
                 for i in range(rb.num_rows)
             ]
             yield pa.RecordBatch.from_arrays(
