@@ -60,7 +60,8 @@ _ROUNDTRIPS: list[tuple[str, str, str, str]] = [
     ("rt_auto_quantity", "lineitem", "l_quantity", "auto"),  # float64
     ("rt_auto_shipdate", "lineitem", "l_shipdate", "auto"),  # date
     ("rt_auto_partsize", "part", "p_size", "auto"),  # int32
-    ("rt_auto_doctext", "documents", "text", "auto"),  # long strings
+    # (rt_auto_doctext folded: long-string auto selection is covered by
+    # rt_fsst_doctext on the same column + codec_choices_lineitem)
     ("rt_dict_returnflag", "lineitem", "l_returnflag", "DICT_RLE"),
     ("rt_dict_suppkey", "lineitem", "l_suppkey", "DICT_RLE"),  # int dict
     ("rt_for_orderkey", "lineitem", "l_orderkey", "FOR_BITPACK"),
@@ -293,6 +294,24 @@ def _q_rt_auto_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.roundtrip_column(df, "big")
 
 
+def _q_rt_interval_dur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL round-trip (reference lib/types.js:124-130, FLBA(12)
+    {months,days,millis}; the Spark-representable slice is
+    DayTimeIntervalType carried as int64 micros).  Projected to whole
+    seconds (cast interval -> long) for the oracle."""
+    from pyspark.sql import functions as F
+
+    from parquetjs_spark import pipeline
+
+    df = _load(spark, sf_dir, "lineitem").select(
+        F.expr(
+            "make_dt_interval(CAST(l_linenumber AS INT), 0, 0, l_quantity)"
+        ).alias("dur")
+    )
+    out = pipeline.roundtrip_column(df, "dur")
+    return out.select(F.col("dur").cast("long").alias("dur_secs"))
+
+
 def _q_rt_arrarr_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-level repetition round-trip (rLevelMax > 1 — the reference's
     nested-repeated shapes, /root/reference/lib/shred.js:75-135 recursion,
@@ -352,6 +371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["rt_decimal_price"] = _q_rt_decimal_price
     out["rt_auto_bool"] = _q_rt_auto_bool
     out["rt_arrarr_qty"] = _q_rt_arrarr_qty
+    out["rt_interval_dur"] = _q_rt_interval_dur
 
     # long-green core
     for name, table, column, codec in _ROUNDTRIPS:
@@ -410,6 +430,10 @@ def oracle_sql() -> dict[str, str]:
     out["rt_arrarr_qty"] = (
         "SELECT l_quantity AS a, l_quantity * 2 AS b, l_quantity + 1 AS c, "
         "CAST(2 AS BIGINT) AS n_inner, l_orderkey FROM lineitem"
+    )
+    out["rt_interval_dur"] = (
+        "SELECT CAST(FLOOR(l_linenumber * 86400 + l_quantity) AS BIGINT) "
+        "AS dur_secs FROM lineitem"
     )
     out["rt_arrstruct_lineitem"] = (
         "SELECT l_linenumber AS n0, l_quantity * 2 AS q1, "

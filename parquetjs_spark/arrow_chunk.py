@@ -366,6 +366,9 @@ def _arrow_to_values(arr: pa.Array, dtype: str):
     if dtype == "timestamp_us":
         np_vals = nn.cast(pa.timestamp("us")).to_numpy(zero_copy_only=False)
         return np_vals.view(np.int64), valid
+    if dtype == "interval_dt":
+        np_vals = nn.cast(pa.duration("us")).to_numpy(zero_copy_only=False)
+        return np_vals.astype("timedelta64[us]").view(np.int64), valid
     if dtype == "date":
         np_vals = nn.to_numpy(zero_copy_only=False)  # datetime64[D]
         return np_vals.astype("datetime64[D]").view(np.int64).astype(np.int32), valid
@@ -384,6 +387,7 @@ _PA_TYPES = {
     "binary": pa.binary(),
     "date": pa.date32(),
     "timestamp_us": pa.timestamp("us"),
+    "interval_dt": pa.duration("us"),
 }
 
 
@@ -418,6 +422,10 @@ def _values_to_arrow(values, valid: np.ndarray, dtype: str) -> pa.Array:
         full = np.zeros(n, dtype=np.int64)
         full[valid] = np.asarray(values, dtype=np.int64)
         return pa.array(full.view("datetime64[us]"), type=pa.timestamp("us"), mask=mask)
+    if dtype == "interval_dt":
+        full = np.zeros(n, dtype=np.int64)
+        full[valid] = np.asarray(values, dtype=np.int64)
+        return pa.array(full.view("timedelta64[us]"), type=pa.duration("us"), mask=mask)
     if dtype == "date":
         full = np.zeros(n, dtype=np.int32)
         full[valid] = np.asarray(values, dtype=np.int32)
@@ -745,7 +753,9 @@ def _column_stats(arr: pa.Array, dtype: str):
     than made incorrect.  Unorderable dtypes (bool/binary/lists) carry
     no stats."""
     base = dtype.split("(")[0]
-    if dtype.startswith("list_") or base in ("bool", "binary"):
+    # interval: no canonical string form Spark can cast back for the
+    # scan predicate — unprunable rather than wrong
+    if dtype.startswith("list_") or base in ("bool", "binary", "interval_dt"):
         return None, None
     try:
         if base in ("float64", "float32"):

@@ -81,6 +81,13 @@ DTYPE_IDS = {
     # DECIMAL entirely — parquet.thrift:79 enum only, no lib/types.js
     # entry — this is a Spark-first extension)
     "decimal": 14,
+    # INTERVAL (reference lib/types.js:124-130: FLBA(12) of
+    # {months,days,millis}) — Spark's representable slice is
+    # DayTimeIntervalType, carried as int64 MICROS under any int codec
+    # (the months component has no Spark day-time equivalent;
+    # YearMonthIntervalType is unsupported by Spark's Arrow bridge —
+    # UNSUPPORTED_DATA_TYPE_FOR_ARROW_CONVERSION — so it stays n-a)
+    "interval_dt": 18,
     # multi-level repetition (Dremel rLevelMax > 1, the reference's
     # nested-repeated shapes — /root/reference/lib/shred.js:75-135
     # recursion, test/shred.js nested-repeated cases): one id for ANY
@@ -103,7 +110,7 @@ def dtype_id(dtype: str) -> int:
         return DTYPE_IDS["list_nested"]
     return DTYPE_IDS[dtype]
 
-_INT_LIKE = {"int64", "int32", "date", "timestamp_us", "bool"}
+_INT_LIKE = {"int64", "int32", "date", "timestamp_us", "interval_dt", "bool"}
 _PTYPE = {
     "int64": "INT64",
     "int32": "INT32",
@@ -111,6 +118,7 @@ _PTYPE = {
     "float32": "FLOAT",
     "date": "INT32",
     "timestamp_us": "INT64",
+    "interval_dt": "INT64",
 }
 
 SAMPLE_VALUES = 4096  # selector cardinality/run sample
@@ -141,6 +149,9 @@ def series_to_values(series: pd.Series, dtype: str):
     elif dtype == "timestamp_us":
         arr = pd.to_datetime(nn).to_numpy()
         vals = arr.astype("datetime64[us]").view(np.int64)
+    elif dtype == "interval_dt":
+        arr = pd.to_timedelta(nn).to_numpy()
+        vals = arr.astype("timedelta64[us]").view(np.int64)
     elif dtype == "date":
         arr = pd.to_datetime(nn).to_numpy()
         vals = arr.astype("datetime64[D]").view(np.int64).astype(np.int32)
@@ -171,6 +182,10 @@ def values_to_series(values, valid: np.ndarray, dtype: str) -> pd.Series:
     if dtype == "timestamp_us":
         out = np.full(n, np.datetime64("NaT", "us"))
         out[valid] = np.asarray(values, dtype=np.int64).view("datetime64[us]")
+        return pd.Series(out)
+    if dtype == "interval_dt":
+        out = np.full(n, np.timedelta64("NaT", "us"))
+        out[valid] = np.asarray(values, dtype=np.int64).view("timedelta64[us]")
         return pd.Series(out)
     if dtype == "date":
         out = np.full(n, np.datetime64("NaT", "D"))
@@ -350,7 +365,10 @@ def select_codec(vals, dtype: str, fsst_state: dict | None = None) -> tuple[str,
     info: dict = {"n_sampled": min(n, SAMPLE_VALUES)}
     if n == 0:
         return PLAIN, info
-    if dtype in ("float64", "float32", "int64", "int32", "date", "timestamp_us"):
+    if dtype in (
+        "float64", "float32", "int64", "int32", "date", "timestamp_us",
+        "interval_dt",
+    ):
         # decision cache: same policy as the string path below — numeric
         # chunks of one column within a task are near-i.i.d., so the
         # measured selection below amortizes to ~0.  A cached RLE pick

@@ -137,16 +137,83 @@ def lsh_topk_for_id(
     ), query_id, k)
 
 
+def _lloyd_step(embeddings: DataFrame, cents: np.ndarray) -> np.ndarray:
+    """One spherical k-means (Lloyd) iteration, deterministic: partial
+    per-cell sums computed per (partition, batch) in one narrow
+    vectorized map, reduced driver-side in (part_id, seq) order so float
+    summation order is independent of task scheduling.  The reduced
+    state is k x dim — centroid-sized, never data-sized."""
+    from pyspark import TaskContext
+
+    k, dim = cents.shape
+    schema = T.StructType(
+        [
+            T.StructField("part_id", T.IntegerType()),
+            T.StructField("seq", T.IntegerType()),
+            T.StructField("cell", T.IntegerType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("vsum", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ctx = TaskContext.get()
+        part_id = ctx.partitionId() if ctx is not None else 0
+        seq = 0
+        for pdf in batches:
+            mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            norms[norms == 0] = 1e-12
+            unit = mat / norms
+            cell = (unit @ cents.T).argmax(axis=1)
+            cells_here = np.unique(cell)
+            sums = np.zeros((len(cells_here), dim))
+            counts = np.zeros(len(cells_here), dtype=np.int64)
+            for i, c in enumerate(cells_here):
+                m = cell == c
+                sums[i] = unit[m].sum(axis=0)
+                counts[i] = int(m.sum())
+            yield pd.DataFrame(
+                {
+                    "part_id": part_id,
+                    "seq": seq,
+                    "cell": cells_here.astype(np.int32),
+                    "n": counts,
+                    "vsum": list(sums),
+                }
+            )
+            seq += 1
+
+    parts = (
+        embeddings.select("embedding").mapInPandas(fn, schema=schema).collect()
+    )
+    acc = np.zeros((k, dim))
+    counts = np.zeros(k, dtype=np.int64)
+    for r in sorted(parts, key=lambda r: (r["part_id"], r["seq"], r["cell"])):
+        acc[r["cell"]] += np.asarray(r["vsum"])
+        counts[r["cell"]] += r["n"]
+    new = cents.copy()  # empty cells keep their old centroid
+    nz = counts > 0
+    new[nz] = acc[nz]
+    new /= np.maximum(np.linalg.norm(new, axis=1, keepdims=True), 1e-12)
+    return new
+
+
 def ivf_assign(
-    embeddings: DataFrame, n_centroids: int = 16, seed: int = 42
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    seed: int = 42,
+    kmeans_iters: int = 0,
 ) -> tuple[DataFrame, np.ndarray]:
-    """IVF coarse quantizer: deterministic centroids (seeded Gaussian,
-    normalized — no iterative k-means: resume-safe and parallelism-
-    independent, like the LSH hyperplanes), assignment = argmax cosine,
-    one narrow vectorized map.  Returns (assigned_df, centroids).
+    """IVF coarse quantizer: deterministic seeded-Gaussian centroids,
+    optionally refined by ``kmeans_iters`` spherical-Lloyd iterations
+    (deterministic too — see _lloyd_step — so still resume-safe and
+    parallelism-independent); assignment = argmax cosine, one narrow
+    vectorized map.  Returns (assigned_df, centroids).
 
     Scale shape: centroids are a tiny closure-shipped array; assignment
-    is shuffle-free; the inverted lists materialize as a `cell` column
+    is shuffle-free; each Lloyd pass is one scan reducing to k x dim of
+    driver state; the inverted lists materialize as a `cell` column
     that downstream queries filter on (partition/Z-order by cell at the
     storage layer and the probe prunes file scans too)."""
     dim_row = embeddings.select(F.size("embedding").alias("d")).head()
@@ -156,6 +223,8 @@ def ivf_assign(
     rng = np.random.default_rng(seed)
     cents = rng.standard_normal((n_centroids, dim))
     cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    for _ in range(kmeans_iters):
+        cents = _lloyd_step(embeddings, cents)
     schema = T.StructType(
         [
             T.StructField("vec_id", T.LongType()),
@@ -183,12 +252,15 @@ def ivf_topk_for_id(
     k: int = 10,
     n_centroids: int = 16,
     n_probe: int = 4,
+    kmeans_iters: int = 0,
 ) -> DataFrame:
     """IVF-flat ANN: restrict to the query's ``n_probe`` nearest
     centroid cells, then exact cosine re-rank — the scale path when the
     table is cell-partitioned (probe prunes ~n_probe/n_centroids of the
-    data before any exact math)."""
-    assigned, cents = ivf_assign(embeddings, n_centroids)
+    data before any exact math).  ``kmeans_iters`` > 0 refines the
+    coarse quantizer with deterministic Lloyd passes (better recall on
+    clustered data)."""
+    assigned, cents = ivf_assign(embeddings, n_centroids, kmeans_iters=kmeans_iters)
     qrow = embeddings.where(F.col("vec_id") == query_id).select("embedding").head()
     if qrow is None:
         raise ValueError(f"vec_id {query_id} not found")

@@ -50,6 +50,11 @@ _SPARK_TO_LOGICAL: dict[type, str] = {
     T.DateType: "date",
     T.TimestampType: "timestamp_us",
     T.TimestampNTZType: "timestamp_us",
+    # INTERVAL (reference lib/types.js:124-130, FLBA(12) {months,days,
+    # millis}): the Spark-representable slice — day-time intervals as
+    # int64 micros.  YearMonthIntervalType can't cross Spark's Arrow
+    # bridge (UNSUPPORTED_DATA_TYPE_FOR_ARROW_CONVERSION) -> stays n-a.
+    T.DayTimeIntervalType: "interval_dt",
 }
 
 _LOGICAL_TO_SPARK: dict[str, T.DataType] = {
@@ -62,6 +67,9 @@ _LOGICAL_TO_SPARK: dict[str, T.DataType] = {
     "binary": T.BinaryType(),
     "date": T.DateType(),
     "timestamp_us": T.TimestampNTZType(),
+    # full-range DAY TO SECOND; a narrower source field round-trips with
+    # identical micros, only the declared start/end fields widen
+    "interval_dt": T.DayTimeIntervalType(),
 }
 
 
@@ -393,6 +401,7 @@ _LOGICAL_TO_PA: dict[str, pa.DataType] = {
     "binary": pa.binary(),
     "date": pa.date32(),
     "timestamp_us": pa.timestamp("us"),
+    "interval_dt": pa.duration("us"),
 }
 
 

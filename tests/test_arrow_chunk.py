@@ -134,3 +134,23 @@ def test_float_stats_unprunable_when_nan_present():
     assert arrow_chunk._column_stats(some_nan, "float64") == (None, None)
     clean = pa.array([1.0, 2.0], type=pa.float64())
     assert arrow_chunk._column_stats(clean, "float64") == ("1.0", "2.0")
+
+
+def test_interval_dt_roundtrip():
+    """INTERVAL (reference lib/types.js:124-130) — the Spark slice:
+    day-time interval as int64 micros under the int codecs."""
+    vals = pa.array(
+        np.array([1_000_000, -5_000_000, 86_400_000_000, 0], dtype="timedelta64[us]"),
+        type=pa.duration("us"),
+    )
+    blob, stats = arrow_chunk.encode_arrow_column(vals, "interval_dt")
+    out, dtype = arrow_chunk.decode_arrow_column(blob)
+    assert dtype == "interval_dt"
+    assert out.to_pylist() == vals.to_pylist()
+    assert arrow_chunk.verify_arrow(blob, stats["sha256"])
+    with_nulls = pa.array([1000, None, -999], type=pa.duration("us"))
+    blob2, _ = arrow_chunk.encode_arrow_column(with_nulls, "interval_dt")
+    out2, _ = arrow_chunk.decode_arrow_column(blob2)
+    assert out2.to_pylist() == with_nulls.to_pylist()
+    # intervals carry no zone-map stats (no castable string form)
+    assert arrow_chunk._column_stats(vals, "interval_dt") == (None, None)

@@ -146,3 +146,52 @@ def test_media_resize_and_frame_sample_shapes(spark):
     assert len(frows) == 60
     assert all(len(bytes(x["frame"])) == 32 for x in frows)
     assert {x["frame_idx"] for x in frows} == {0, 1, 2}
+
+
+def test_kmeans_ivf_recall_beats_single_probe_lsh(spark):
+    """Deterministic Lloyd-refined IVF must recall at least as many true
+    neighbors as single-probe LSH on clustered data (round-2 verdict #7:
+    the seeded-Gaussian quantizer is weak on real clusters)."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    # 8 tight clusters of 40 vectors each — the shape where a data-blind
+    # quantizer loses and Lloyd converges in 1-2 passes
+    centers = rng.standard_normal((8, 16)) * 4
+    rows = []
+    vid = 0
+    for c in range(8):
+        for _ in range(40):
+            v = centers[c] + rng.standard_normal(16) * 0.15
+            rows.append((vid, v.astype("float32").tolist(), c))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    k = 10
+    exact = {r["vec_id"] for r in similarity.topk_for_id(df, 0, k).collect()}
+
+    ivf = {
+        r["vec_id"]
+        for r in similarity.ivf_topk_for_id(
+            df, 0, k, n_centroids=8, n_probe=1, kmeans_iters=2
+        ).collect()
+    }
+    lsh = {
+        r["vec_id"]
+        for r in similarity.lsh_topk_for_id(df, 0, k, n_planes=8, probes=0).collect()
+    }
+    ivf_recall = len(ivf & exact) / k
+    lsh_recall = len(lsh & exact) / k
+    assert ivf_recall >= lsh_recall
+    # on cleanly clustered data a refined single-probe IVF is near-exact
+    assert ivf_recall >= 0.9
+
+
+def test_kmeans_ivf_deterministic(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    rows = [(i, rng.standard_normal(8).astype("float32").tolist(), 0) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    _, c1 = similarity.ivf_assign(df, n_centroids=6, kmeans_iters=2)
+    _, c2 = similarity.ivf_assign(df, n_centroids=6, kmeans_iters=2)
+    assert np.array_equal(c1, c2)

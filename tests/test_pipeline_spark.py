@@ -449,3 +449,17 @@ def test_scan_table_row_group_pruning(spark):
         assert proj.count() == len(got)
     finally:
         blobs.unpersist()
+
+
+def test_interval_roundtrip_spark(spark):
+    """DayTimeIntervalType end-to-end through the mapInArrow pipeline."""
+    df = load_table(spark, SF, "lineitem").select(
+        F.expr(
+            "make_dt_interval(CAST(l_linenumber AS INT), 0, 0, l_quantity)"
+        ).alias("dur")
+    )
+    out = pipeline.roundtrip_column(df, "dur")
+    assert out.schema["dur"].dataType.simpleString().startswith("interval day")
+    a = sorted(r[0] for r in df.select(F.col("dur").cast("long")).collect())
+    b = sorted(r[0] for r in out.select(F.col("dur").cast("long")).collect())
+    assert a == b
