@@ -129,13 +129,28 @@ def cmd_decode_table(args) -> int:
 
 
 def cmd_scan(args) -> int:
+    from pyspark.sql import functions as F
+
     from parquetjs_spark import pipeline
 
     spark = _spark(args)
     blobs = pipeline.read_encoded(spark, args.input)
     lo = args.min if args.min is not None else None
     hi = args.max if args.max is not None else None
-    out = pipeline.scan_column(blobs, args.column, lo=lo, hi=hi)
+    # dtype from the manifest (pure-metadata scan), same as cmd_decode
+    drow = (
+        pipeline.read_manifest(spark, args.input)
+        .where(F.col("column") == args.column)
+        .select("dtype")
+        .limit(1)
+        .collect()
+    )
+    if not drow:
+        print(f"error: no chunks for column {args.column}", file=sys.stderr)
+        return 2
+    out = pipeline.scan_column(
+        blobs, args.column, lo=lo, hi=hi, dtype=drow[0]["dtype"]
+    )
     out.write.mode("overwrite").parquet(args.output)
     print(json.dumps({"rows": spark.read.parquet(args.output).count()}))
     return 0
