@@ -90,25 +90,34 @@ def decompress(name: str, data: bytes) -> bytes:
     return _pa_codec(name).decompress(data[8:], raw_len, asbytes=True)
 
 
+_ZSTD9: pa.Codec | None = None
+
+
 def auto_compress(data: bytes) -> tuple[str, bytes]:
-    """The 'auto' block-compression policy: ZSTD level 3 (pyarrow's
-    bundled codec) — measured on the documents corpus it matches
-    zlib-6's size on FSST payloads (end-to-end 0.172 vs 0.170 of raw)
-    at ~5x the encode speed and ~3x the decode speed — kept only if it
-    buys >= 3% (decode isn't free); falls back to zlib if the codec is
-    unavailable.  Explicit compression names bypass this policy."""
+    """The 'auto' block-compression policy: ZSTD — level 3 for large
+    sections (measured on the documents corpus: matches zlib-6's size on
+    FSST payloads at ~5x the encode speed and ~3x the decode speed),
+    level 9 for sections <= 64 KB (numeric/RLE/DICT chunks: measured on
+    the sf0.01 small-chunk population, zstd-9 is SMALLER than the best
+    of {zstd-3, zlib-6} AND ~40% cheaper than trying both, which the
+    previous policy did).  Kept only if it buys >= 3% (decode isn't
+    free); falls back to zlib if zstd isn't compiled in.  Explicit
+    compression names bypass this policy.  The wire id is plain ZSTD
+    either way — frames self-describe, decode is level-blind."""
+    global _ZSTD9
     try:
-        z = compress(ZSTD, data)
+        if len(data) <= 65536:
+            if _ZSTD9 is None:
+                _ZSTD9 = pa.Codec("zstd", compression_level=9)
+            z = len(data).to_bytes(8, "little") + _ZSTD9.compress(
+                data, asbytes=True
+            )
+        else:
+            z = compress(ZSTD, data)
         name = ZSTD
     except Exception:  # pragma: no cover - zstd not compiled in
         z = zlib.compress(data, 6)
         name = ZLIB
-    if name == ZSTD and len(data) <= 65536:
-        # small sections (numeric chunks): zlib-6 sometimes beats zstd-3
-        # by a few % and costs <1 ms at this size — take the smaller
-        z2 = zlib.compress(data, 6)
-        if len(z2) < len(z):
-            name, z = ZLIB, z2
     if len(z) < 0.97 * len(data) - 16:
         return name, z
     return UNCOMPRESSED, data
