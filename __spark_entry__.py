@@ -87,12 +87,17 @@ def _make_roundtrip(table: str, column: str, codec: str):
 # --------------------------------------------------------------------------
 
 
-def _q_distinct_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """decode(encode(col)) -> DISTINCT: decode feeding a Spark aggregate."""
+def _q_scan_eq_partkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filtered point lookup (the bloom filters Parquet declares
+    but the reference never writes, /root/reference/parquet.thrift:359-361):
+    per-chunk blooms in the manifest prune chunks of the UNSORTED
+    l_partkey column via a pure-JVM bit-test before any decode; zone
+    maps cannot prune here (every chunk spans most of the key range)."""
     from parquetjs_spark import pipeline
 
-    df = _load(spark, sf_dir, "lineitem")
-    return pipeline.roundtrip_column(df, "l_returnflag").distinct()
+    df = _load(spark, sf_dir, "lineitem").select("l_partkey")
+    blobs = pipeline.encode_columns(df)
+    return pipeline.scan_eq(blobs, "l_partkey", 50, dtype="int64")
 
 
 def _q_chunk_counts_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -376,7 +381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # long-green core
     for name, table, column, codec in _ROUNDTRIPS:
         out[name] = _make_roundtrip(table, column, codec)
-    out["distinct_returnflag"] = _q_distinct_returnflag
+    out["scan_eq_partkey"] = _q_scan_eq_partkey
     out["chunk_counts_lineitem"] = _q_chunk_counts_lineitem
     out["codec_choices_lineitem"] = _q_codec_choices_lineitem
     out["verify_all_lineitem"] = _q_verify_all_lineitem
@@ -394,7 +399,9 @@ def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     for name, table, column, _codec in _ROUNDTRIPS:
         out[name] = f"SELECT {column} FROM {table}"
-    out["distinct_returnflag"] = "SELECT DISTINCT l_returnflag FROM lineitem"
+    out["scan_eq_partkey"] = (
+        "SELECT l_partkey FROM lineitem WHERE l_partkey = 50"
+    )
     _li_cols = [
         "l_orderkey",
         "l_partkey",

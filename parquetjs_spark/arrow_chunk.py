@@ -41,6 +41,7 @@ from .codecs import (
     FSST,
     PLAIN,
     RLE,
+    bloom as bloomlib,
     compress as comp,
     for_bp,
     fsst,
@@ -805,6 +806,18 @@ def encode_arrow_column(
     n_nulls = int(n - valid.sum())
     sel_info: dict = {}
 
+    # per-chunk bloom for equality pruning (scan_eq); manifest metadata,
+    # never part of the wire blob or the canonical sha
+    bloom_bits = None
+    if dtype in bloomlib.BLOOMABLE:
+        if dtype in ("string", "binary"):
+            hashes = bloomlib.hash_bytes_arrays(
+                values.concat_bytes(), values.offsets - values.offsets[0]
+            )
+        else:
+            hashes = bloomlib.hash_ints(np.asarray(values, dtype=np.int64))
+        bloom_bits = bloomlib.build_from_hashes(hashes).tolist()
+
     if dtype in ("string", "binary"):
         if codec == "auto":
             codec, sel_info = _select_string_codec(values, fsst_state)
@@ -832,12 +845,13 @@ def encode_arrow_column(
     return _assemble_blob(
         dtype, codec, compression, n, n_nulls, valid, values_raw,
         content_bytes, _canonical_sha256_block(values, valid, dtype), sel_info,
+        bloom_bits,
     )
 
 
 def _assemble_blob(
     dtype, codec, compression, n, n_nulls, valid, values_raw, content_bytes,
-    sha, sel_info,
+    sha, sel_info, bloom_bits=None,
 ) -> tuple[bytes, dict]:
     if compression == "auto":
         compression, values_comp = comp.auto_compress(values_raw)
@@ -871,6 +885,7 @@ def _assemble_blob(
         "encoded_bytes": len(blob),
         "sha256": sha,
         "selector": sel_info,
+        "bloom": bloom_bits,
     }
     return blob, stats
 

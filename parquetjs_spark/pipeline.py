@@ -363,6 +363,7 @@ BLOB_SCHEMA = T.StructType(
         T.StructField("sha256", T.StringType()),
         T.StructField("stat_min", T.StringType()),
         T.StructField("stat_max", T.StringType()),
+        T.StructField("bloom", T.ArrayType(T.LongType())),
         T.StructField("wall_ms", T.DoubleType()),
         T.StructField("data", T.BinaryType()),
     ]
@@ -386,6 +387,7 @@ _BLOB_PA_SCHEMA = pa.schema(
         pa.field("sha256", pa.string()),
         pa.field("stat_min", pa.string()),
         pa.field("stat_max", pa.string()),
+        pa.field("bloom", pa.list_(pa.int64())),
         pa.field("wall_ms", pa.float64()),
         pa.field("data", pa.binary()),
     ]
@@ -555,6 +557,7 @@ def encode_columns(
                 rows["sha256"].append(stats["sha256"])
                 rows["stat_min"].append(stats.get("stat_min"))
                 rows["stat_max"].append(stats.get("stat_max"))
+                rows["bloom"].append(stats.get("bloom"))
                 rows["wall_ms"].append(wall_ms)
                 rows["data"].append(blob)
             seq += 1
@@ -845,6 +848,80 @@ def scan_table(
     if want is not columns and columns is not None:
         out = out.select(*[F.col(f"`{c}`") for c in columns])
     return out
+
+
+def scan_eq(
+    blob_df: DataFrame,
+    column: str,
+    value,
+    columns: list[str] | None = None,
+    dtype: str | None = None,
+) -> DataFrame:
+    """Bloom + zone-map pruned equality scan (point lookup).
+
+    Parquet declares bloom filters / index pages; the reference never
+    writes them (/root/reference/parquet.thrift:359-361 is a TODO).
+    Here every chunk of a bloomable column carries a 1024-bit bloom in
+    the manifest, so ``col = value`` eliminates chunks with a pure-JVM
+    metadata filter — element_at + bitwiseAND over the probed words —
+    BEFORE any blob moves; zone maps prune on top when the data is
+    clustered; the residual filter exacts the predicate.  On unsorted
+    data this is the pruning that zone maps cannot give (a random chunk
+    spans nearly the full key range, but its bloom rejects all but
+    ~2^-10 of foreign point probes per hash).
+
+    ``columns=None`` decodes just the predicate column; pass a list to
+    reassemble whole row groups (scan_table-style broadcast semi-join).
+    Chunks without a bloom (old tables, unbloomable dtypes) stay
+    conservatively unpruned."""
+    from .codecs import bloom as bloomlib
+
+    for stat_col in ("stat_min", "stat_max"):
+        if stat_col not in blob_df.columns:
+            blob_df = blob_df.withColumn(stat_col, F.lit(None).cast("string"))
+    if "bloom" not in blob_df.columns:
+        blob_df = blob_df.withColumn("bloom", F.lit(None).cast("array<long>"))
+    pred_rows = blob_df.where(F.col("column") == column)
+    if dtype is None:
+        drow = pred_rows.select("dtype").limit(1).collect()
+        if not drow:
+            raise ValueError(f"no chunks for column {column}")
+        dtype = drow[0][0]
+    styp = spark_type_of(dtype)
+    vlit = F.lit(value).cast(styp)
+    # zone maps: min <= value <= max (null stats conservatively kept)
+    pred_rows = pred_rows.where(
+        (F.col("stat_max").isNull() | (F.col("stat_max").cast(styp) >= vlit))
+        & (F.col("stat_min").isNull() | (F.col("stat_min").cast(styp) <= vlit))
+    )
+    # bloom probes: every probed bit must be set (null bloom kept).
+    # Probing hashes the LOGICAL value exactly as the encoder did, so
+    # only int/str/bytes literals probe; anything else skips the bloom.
+    # Bit positions derive from each chunk's own filter size
+    # (h & (64*len(bloom) - 1)) so different-sized blooms mix freely.
+    if dtype in bloomlib.BLOOMABLE and isinstance(value, (int, str, bytes)):
+        for hj in bloomlib.probe_hashes(value, dtype):
+            # SQL expr because pyspark's shiftleft() rejects a Column
+            # shift amount; hj is a driver-computed literal
+            pos = f"({hj}L & (size(bloom) * 64 - 1))"
+            pred_rows = pred_rows.where(
+                F.expr(
+                    "bloom IS NULL OR ("
+                    f"element_at(bloom, int(shiftright({pos}, 6)) + 1) "
+                    f"& shiftleft(1L, int({pos} & 63))"
+                    ") != 0"
+                )
+            )
+    if columns is None:
+        out = decode_column(pred_rows, column, dtype=dtype)
+        return out.where(F.col(f"`{column}`") == vlit)
+    keep = pred_rows.select("part_id", "chunk_seq").distinct()
+    want = list(columns) if column in columns else list(columns) + [column]
+    pruned = blob_df.join(
+        F.broadcast(keep), on=["part_id", "chunk_seq"], how="left_semi"
+    )
+    out = decode_table(pruned, want).where(F.col(f"`{column}`") == vlit)
+    return out.select(*[F.col(f"`{c}`") for c in columns])
 
 
 VERIFY_SCHEMA = T.StructType(

@@ -463,3 +463,56 @@ def test_interval_roundtrip_spark(spark):
     a = sorted(r[0] for r in df.select(F.col("dur").cast("long")).collect())
     b = sorted(r[0] for r in out.select(F.col("dur").cast("long")).collect())
     assert a == b
+
+
+def test_scan_eq_bloom_pruned(spark):
+    """Bloom-filtered point lookup: results must equal a plain filter,
+    and the per-chunk blooms must actually reject foreign probes on an
+    unsorted key (where zone maps cannot prune)."""
+    from parquetjs_spark.codecs import bloom as bloomlib
+
+    df = load_table(spark, SF, "lineitem").select(
+        "l_partkey", "l_orderkey", "l_returnflag"
+    )
+    blobs = pipeline.encode_columns(df, chunk_rows=512).cache()
+    try:
+        key = df.select("l_partkey").head()[0]
+        got = sorted(
+            r[0] for r in pipeline.scan_eq(blobs, "l_partkey", int(key)).collect()
+        )
+        want = sorted(
+            r[0]
+            for r in df.where(F.col("l_partkey") == int(key))
+            .select("l_partkey")
+            .collect()
+        )
+        assert got == want and len(got) > 0
+
+        # full-row variant
+        rows = pipeline.scan_eq(
+            blobs, "l_partkey", int(key), columns=["l_partkey", "l_orderkey"]
+        )
+        want_rows = sorted(
+            (r["l_partkey"], r["l_orderkey"])
+            for r in df.where(F.col("l_partkey") == int(key)).collect()
+        )
+        assert sorted((r[0], r[1]) for r in rows.collect()) == want_rows
+
+        # string equality stays correct (every chunk holds all 3 flags,
+        # so no pruning — but no false negatives either)
+        n_a = pipeline.scan_eq(blobs, "l_returnflag", "A").count()
+        assert n_a == df.where(F.col("l_returnflag") == "A").count()
+
+        # pruning power: most chunk blooms reject a value that is not in
+        # the table at all (l_partkey is unsorted -> zone maps are
+        # useless here; the bloom is what prunes)
+        manifest = blobs.where(F.col("column") == "l_partkey").select("bloom").collect()
+        absent = 10_000_000_007
+        rejected = sum(
+            0 if bloomlib.might_contain(r["bloom"], absent, "int64") else 1
+            for r in manifest
+        )
+        assert rejected >= 0.95 * len(manifest)
+        assert pipeline.scan_eq(blobs, "l_partkey", absent).count() == 0
+    finally:
+        blobs.unpersist()
