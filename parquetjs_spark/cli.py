@@ -148,9 +148,16 @@ def cmd_scan(args) -> int:
     if not drow:
         print(f"error: no chunks for column {args.column}", file=sys.stderr)
         return 2
-    out = pipeline.scan_column(
-        blobs, args.column, lo=lo, hi=hi, dtype=drow[0]["dtype"]
-    )
+    dtype = drow[0]["dtype"]
+    if args.eq is not None:
+        # point lookup: bloom + zone-map pruned (scan_eq); numeric
+        # literals probe as ints, everything else as strings
+        val = args.eq
+        if dtype in ("int64", "int32", "date", "timestamp_us"):
+            val = int(val)
+        out = pipeline.scan_eq(blobs, args.column, val, dtype=dtype)
+    else:
+        out = pipeline.scan_column(blobs, args.column, lo=lo, hi=hi, dtype=dtype)
     out.write.mode("overwrite").parquet(args.output)
     print(json.dumps({"rows": spark.read.parquet(args.output).count()}))
     return 0
@@ -214,6 +221,9 @@ def main(argv: list[str] | None = None) -> int:
     ps.add_argument("--column", required=True)
     ps.add_argument("--min", default=None, help="range lower bound (zone-map pruned)")
     ps.add_argument("--max", default=None, help="range upper bound (zone-map pruned)")
+    ps.add_argument(
+        "--eq", default=None, help="point lookup (bloom + zone-map pruned)"
+    )
     ps.add_argument("--output", required=True)
     ps.set_defaults(fn=cmd_scan)
 
