@@ -129,7 +129,10 @@ def _strblock_from_pa(arr: pa.Array) -> StrBlock:
     offsets = np.frombuffer(bufs[1], dtype=off_dtype, count=len(arr) + 1 + arr.offset)[
         arr.offset :
     ].astype(np.int64)
-    data = bufs[2].to_pybytes() if bufs[2] is not None else b""
+    # zero-copy view (the memoryview keeps the arrow buffer alive):
+    # to_pybytes() here cost one full memcpy per string chunk on the
+    # encode hot path — pure memory-bandwidth burn at 32-way parallelism
+    data = memoryview(bufs[2]) if bufs[2] is not None else b""
     return StrBlock(data, offsets)
 
 
@@ -170,7 +173,7 @@ def _encode_flba_block(block: StrBlock) -> bytes:
     width = int(lens[0]) if block.n else 0
     if block.n and not (lens == width).all():
         raise ValueError("FLBA requires uniform value lengths")
-    return width.to_bytes(4, "little") + block.concat_bytes()
+    return b"".join((width.to_bytes(4, "little"), block.concat_bytes()))
 
 
 def _decode_flba_block(buf: memoryview, n: int) -> StrBlock:
@@ -241,7 +244,9 @@ def _encode_fsst_block(block: StrBlock, fsst_state: dict | None) -> bytes:
     concat = block.concat_bytes()
     table = None if fsst_state is None else fsst_state.get("table")
     if table is None:
-        table = fsst.train(concat[:SAMPLE_BYTES])
+        # bytes(): train factorizes per-byte slices — hand it a real
+        # bytes object (bounded copy), not the zero-copy memoryview
+        table = fsst.train(bytes(concat[:SAMPLE_BYTES]))
         if fsst_state is not None:
             fsst_state["table"] = table
     lens_enc = for_bp.encode(block.lens.astype(np.int64))
@@ -321,7 +326,8 @@ def _select_string_codec(block: StrBlock, fsst_state: dict | None) -> tuple[str,
     # most of the bytes (long repeated documents), dict saves little and
     # FSST still competes on the byte content itself.
     if total > 0 and cands[DICT_RLE] > 0.35 * cands[PLAIN]:
-        concat = sample.concat_bytes()[:SAMPLE_BYTES]
+        # bounded bytes copy of the sample (train slices per byte)
+        concat = bytes(sample.concat_bytes()[:SAMPLE_BYTES])
         if len(concat) >= 256:
             table = None if fsst_state is None else fsst_state.get("table")
             if table is None:

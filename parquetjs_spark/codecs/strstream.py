@@ -24,9 +24,12 @@ import numpy as np
 from . import for_bp
 
 
-def encode_lens_payload(lens: np.ndarray, payload: bytes) -> bytes:
+def encode_lens_payload(lens: np.ndarray, payload) -> bytes:
+    """``payload`` is any bytes-like (bytes or a zero-copy memoryview of
+    the arrow buffer); the join below is the single unavoidable copy
+    that materializes the wire."""
     lens_enc = for_bp.encode(np.ascontiguousarray(lens, dtype=np.int64))
-    return len(lens_enc).to_bytes(4, "little") + lens_enc + payload
+    return b"".join((len(lens_enc).to_bytes(4, "little"), lens_enc, payload))
 
 
 def decode_lens_payload(buf: memoryview | bytes, n: int):
