@@ -136,24 +136,6 @@ def _strblock_from_pa(arr: pa.Array) -> StrBlock:
     return StrBlock(data, offsets)
 
 
-def _plain_stream(block: StrBlock) -> bytes:
-    """4-byte LE length prefix + payload per value, vectorized from the
-    block buffers (semantics of /root/reference/lib/codec/plain.js:145-162)."""
-    n = block.n
-    lens = block.lens
-    total = int(lens.sum()) + 4 * n
-    out = np.empty(total, dtype=np.uint8)
-    starts = np.zeros(n, dtype=np.int64)
-    if n:
-        starts[1:] = np.cumsum(lens[:-1] + 4)
-    idx = (starts[:, None] + np.arange(4)).reshape(-1)
-    out[idx] = lens.astype("<u4").view(np.uint8).reshape(-1)
-    mask = np.ones(total, dtype=bool)
-    mask[idx] = False
-    out[mask] = np.frombuffer(block.concat_bytes(), dtype=np.uint8)
-    return out.tobytes()
-
-
 def _str_stream(block: StrBlock) -> bytes:
     """PLAIN string/binary wire v2 (codecs/strstream): FOR-packed lengths
     + concatenated payload — both encode and decode fully vectorized."""
@@ -449,14 +431,24 @@ def _values_to_arrow(values, valid: np.ndarray, dtype: str) -> pa.Array:
 # --------------------------------------------------------------------------
 
 
+def _sha_update_strings(h, block: StrBlock) -> None:
+    """Canonical string feed: payload ++ '|' ++ int64-LE lengths — the
+    same information as the interleaved PLAIN stream but fed without
+    materializing it (the old _plain_stream scatter cost ~5 ms per
+    4096-value chunk, ~20% of string-chunk encode)."""
+    h.update(block.concat_bytes())
+    h.update(b"|")
+    h.update(np.ascontiguousarray(block.lens, dtype="<i8").tobytes())
+
+
 def _canonical_sha256_block(values, valid: np.ndarray, dtype: str) -> str:
+    h = hashlib.sha256()
     if dtype in ("string", "binary"):
-        body = _plain_stream(values)
+        _sha_update_strings(h, values)
     elif dtype == "bool":
-        body = plain.encode_boolean(np.asarray(values))
+        h.update(plain.encode_boolean(np.asarray(values)))
     else:
-        body = plain.encode_numeric(_PTYPE[dtype], np.asarray(values))
-    h = hashlib.sha256(body)
+        h.update(plain.encode_numeric(_PTYPE[dtype], np.asarray(values)))
     h.update(b"|")
     h.update(np.packbits(valid.view(np.uint8), bitorder="little").tobytes())
     return h.hexdigest()
@@ -501,13 +493,13 @@ def _list_parts(arr: pa.Array, dtype: str):
 def _canonical_sha256_list(
     lens: np.ndarray, elem_values, elem_valid: np.ndarray, valid, elem_dtype
 ) -> str:
+    h = hashlib.sha256()
     if elem_dtype in ("string", "binary"):
-        body = _plain_stream(elem_values)
+        _sha_update_strings(h, elem_values)
     elif elem_dtype == "bool":
-        body = plain.encode_boolean(np.asarray(elem_values))
+        h.update(plain.encode_boolean(np.asarray(elem_values)))
     else:
-        body = plain.encode_numeric(_PTYPE[elem_dtype], np.asarray(elem_values))
-    h = hashlib.sha256(body)
+        h.update(plain.encode_numeric(_PTYPE[elem_dtype], np.asarray(elem_values)))
     h.update(b"|")
     h.update(lens.astype("<i8").tobytes())
     h.update(b"|")

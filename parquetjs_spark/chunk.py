@@ -216,14 +216,24 @@ def values_to_series(values, valid: np.ndarray, dtype: str) -> pd.Series:
 
 
 def canonical_sha256(values, valid: np.ndarray, dtype: str) -> str:
-    """sha256 over PLAIN-encoded non-null values ++ validity bitmap."""
+    """sha256 over the non-null values ++ validity bitmap.  Strings feed
+    payload ++ '|' ++ int64-LE lengths (same information as the
+    interleaved PLAIN stream, fed without materializing it); numerics
+    feed their PLAIN LE bytes.  Must stay byte-identical to
+    arrow_chunk's definition — test_arrow_chunk pins pandas==arrow."""
+    h = hashlib.sha256()
     if dtype in ("string", "binary"):
-        body = plain.encode_byte_array(values)
+        h.update(b"".join(values))
+        h.update(b"|")
+        h.update(
+            np.fromiter(
+                (len(v) for v in values), dtype="<i8", count=len(values)
+            ).tobytes()
+        )
     elif dtype == "bool":
-        body = plain.encode_boolean(np.asarray(values))
+        h.update(plain.encode_boolean(np.asarray(values)))
     else:
-        body = plain.encode_numeric(_PTYPE[dtype], np.asarray(values))
-    h = hashlib.sha256(body)
+        h.update(plain.encode_numeric(_PTYPE[dtype], np.asarray(values)))
     h.update(b"|")
     h.update(np.packbits(valid.view(np.uint8), bitorder="little").tobytes())
     return h.hexdigest()
