@@ -161,7 +161,7 @@ def _encode_flba_block(block: StrBlock) -> bytes:
 def _decode_flba_block(buf: memoryview, n: int) -> StrBlock:
     width = int.from_bytes(bytes(buf[:4]), "little")
     offsets = np.arange(n + 1, dtype=np.int64) * width
-    return StrBlock(bytes(buf[4:4 + n * width]), offsets)
+    return StrBlock(buf[4 : 4 + n * width], offsets)
 
 
 # --------------------------------------------------------------------------
@@ -245,7 +245,7 @@ def _decode_fsst_block(buf: memoryview, n: int) -> StrBlock:
     lens_len = int.from_bytes(bytes(buf[:4]), "little")
     lens = for_bp.decode(buf[4 : 4 + lens_len], n)
     table, consumed = fsst.deserialize_table(buf[4 + lens_len :])
-    concat = fsst.decompress(bytes(buf[4 + lens_len + consumed :]), table)
+    concat = fsst.decompress(buf[4 + lens_len + consumed :], table)
     offsets = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(lens, out=offsets[1:])
     return StrBlock(concat, offsets)
@@ -907,7 +907,9 @@ def decode_arrow_column(blob: bytes | memoryview) -> tuple[pa.Array, str]:
     else:
         valid = np.ones(n, dtype=bool)
     pos += levels_len
-    values_raw = comp.decompress(compression, bytes(mv[pos : pos + values_len]))
+    # zero-copy: the compressed section decompresses straight from the
+    # blob view (UNCOMPRESSED chunks stay a view end-to-end)
+    values_raw = comp.decompress(compression, mv[pos : pos + values_len])
     nn = n - n_nulls
     if dtype == "decimal":
         from . import chunk as chunklib

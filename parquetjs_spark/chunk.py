@@ -609,7 +609,7 @@ def decode_chunk(blob: bytes | memoryview) -> tuple[pd.Series, str]:
     else:
         valid = np.ones(n, dtype=bool)
     pos += levels_len
-    values_raw = comp.decompress(compression, bytes(mv[pos : pos + values_len]))
+    values_raw = comp.decompress(compression, mv[pos : pos + values_len])
     vals = _decode_values(memoryview(values_raw), n - n_nulls, dtype, codec)
     return values_to_series(vals, valid, dtype), dtype
 

@@ -79,14 +79,15 @@ def compress(name: str, data: bytes) -> bytes:
     return len(data).to_bytes(8, "little") + body
 
 
-def decompress(name: str, data: bytes) -> bytes:
+def decompress(name: str, data) -> bytes:
+    """``data`` may be bytes or a zero-copy memoryview into the blob."""
     if name == UNCOMPRESSED:
         return data
     if name == ZLIB:
         return zlib.decompress(data)
     if name == GZIP:
-        return gzip.decompress(data)
-    raw_len = int.from_bytes(data[:8], "little")
+        return gzip.decompress(bytes(data))
+    raw_len = int.from_bytes(bytes(data[:8]), "little")
     return _pa_codec(name).decompress(data[8:], raw_len, asbytes=True)
 
 

@@ -33,13 +33,15 @@ def encode_lens_payload(lens: np.ndarray, payload) -> bytes:
 
 
 def decode_lens_payload(buf: memoryview | bytes, n: int):
-    """-> (offsets int64[n+1], payload bytes)."""
+    """-> (offsets int64[n+1], payload) — payload is a ZERO-COPY
+    memoryview into ``buf`` (which it keeps alive); callers needing
+    real bytes wrap it themselves."""
     mv = memoryview(buf)
     lens_len = int.from_bytes(bytes(mv[:4]), "little")
     lens = for_bp.decode(mv[4 : 4 + lens_len], n)
     offsets = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(lens, out=offsets[1:])
-    return offsets, bytes(mv[4 + lens_len :])
+    return offsets, mv[4 + lens_len :]
 
 
 def encode_byte_arrays(values: list[bytes]) -> bytes:
@@ -50,4 +52,5 @@ def encode_byte_arrays(values: list[bytes]) -> bytes:
 
 def decode_byte_arrays(buf: memoryview | bytes, n: int) -> list[bytes]:
     offsets, data = decode_lens_payload(buf, n)
+    data = bytes(data)  # list-of-bytes API: values must be real bytes
     return [data[offsets[i] : offsets[i + 1]] for i in range(n)]
