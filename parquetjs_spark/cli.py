@@ -76,7 +76,10 @@ def cmd_encode(args) -> int:
         blobs = pipeline.encode_columns(df, cols, chunk_rows=args.chunk_rows)
         mode = "overwrite"
     metadata = dict(kv.split("=", 1) for kv in (args.meta or []))
-    pipeline.write_encoded(blobs, args.output, mode=mode, metadata=metadata)
+    pipeline.write_encoded(
+        blobs, args.output, mode=mode, metadata=metadata,
+        partition_by_column=args.partition_by_column,
+    )
     if args.resume_from:
         # the output manifest includes previously committed chunks when
         # resuming into the same dir — report only this run's delta
@@ -195,6 +198,12 @@ def main(argv: list[str] | None = None) -> int:
     pe.add_argument("--salt-key", default=None, help="skewed key column to salt on")
     pe.add_argument("--salt-buckets", type=int, default=16)
     pe.add_argument("--resume-from", default=None, help="prior output path (manifest)")
+    pe.add_argument(
+        "--partition-by-column",
+        action="store_true",
+        help="lay blobs out as one storage partition per column "
+        "(single-column decode/scan prunes other columns' files)",
+    )
     pe.add_argument(
         "--meta",
         action="append",

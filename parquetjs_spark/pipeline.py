@@ -1001,6 +1001,7 @@ def write_encoded(
     path: str,
     mode: str = "overwrite",
     metadata: dict[str, str] | None = None,
+    partition_by_column: bool = False,
 ) -> None:
     """Persist blobs + a pure-metadata manifest (lineage) table.
 
@@ -1008,8 +1009,20 @@ def write_encoded(
     but queryable: per-chunk codec, sizes, sha256, timing.  ``metadata``
     is user key/value footer metadata (``setMetadata``,
     /root/reference/lib/writer.js:147-149), stored as its own tiny
-    table."""
-    blob_df.write.mode(mode).parquet(f"{path}/blobs")
+    table.
+
+    ``partition_by_column=True`` lays the blob table out as one storage
+    partition per encoded column.  decode_column/scan_* filter on
+    ``column``, so Catalyst partition-pruning then skips the other
+    columns' files entirely — at 100 TB a single-column decode reads
+    1/k of the storage instead of relying on parquet row-group stats.
+    The trade-off is one output file per (column, task) instead of one
+    per task; prefer it when k (columns) is small relative to the
+    desired file count."""
+    wr = blob_df.write.mode(mode)
+    if partition_by_column:
+        wr = wr.partitionBy("column")
+    wr.parquet(f"{path}/blobs")
     blob_df.select(*MANIFEST_COLUMNS).write.mode(mode).parquet(f"{path}/manifest")
     if metadata:
         spark = blob_df.sparkSession

@@ -516,3 +516,21 @@ def test_scan_eq_bloom_pruned(spark):
         assert pipeline.scan_eq(blobs, "l_partkey", absent).count() == 0
     finally:
         blobs.unpersist()
+
+
+def test_write_encoded_partitioned_by_column(spark, tmp_path):
+    """Storage-level layout: one partition dir per encoded column, so a
+    single-column decode prunes the other columns' files entirely."""
+    import os
+
+    df = load_table(spark, SF, "lineitem").select("l_orderkey", "l_returnflag")
+    blobs = pipeline.encode_columns(df)
+    out = str(tmp_path / "enc")
+    pipeline.write_encoded(blobs, out, partition_by_column=True)
+    dirs = {d for d in os.listdir(f"{out}/blobs") if d.startswith("column=")}
+    assert dirs == {"column=l_orderkey", "column=l_returnflag"}
+    back = pipeline.read_encoded(spark, out)
+    dec = pipeline.decode_column(back, "l_orderkey", dtype="int64")
+    got = sorted(r[0] for r in dec.collect())
+    want = sorted(r[0] for r in df.select("l_orderkey").collect())
+    assert got == want
