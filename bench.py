@@ -41,11 +41,11 @@ def timed(fn):
     no steal at all (q3/q4 swing 2x between adjacent runs with <0.1
     steal-s recorded).  Because the second effect is invisible to
     /proc/stat, a quiet-steal run cannot be trusted on its own: always
-    take the best of at least 3 runs, extending to 5 while steal is
+    take the best of at least 4 runs, extending to 6 while steal is
     dirty."""
     best = None
     out = None
-    for attempt in range(5):
+    for attempt in range(6):
         s0 = _steal_s()
         t0 = time.perf_counter()
         out = fn()
@@ -53,7 +53,7 @@ def timed(fn):
         stolen = _steal_s() - s0
         if best is None or t < best:
             best = t
-        if attempt >= 2 and stolen < 1.0:
+        if attempt >= 3 and stolen < 1.0:
             break
     return out, best
 
