@@ -358,6 +358,14 @@ def _arrow_to_values(arr: pa.Array, dtype: str):
     if dtype == "interval_dt":
         np_vals = nn.cast(pa.duration("us")).to_numpy(zero_copy_only=False)
         return np_vals.astype("timedelta64[us]").view(np.int64), valid
+    if dtype == "time_ns":
+        # nanos-since-midnight straight from the value buffer (to_numpy
+        # would materialize datetime.time objects)
+        if nn.type != pa.time64("ns"):
+            nn = nn.cast(pa.time64("ns"))
+        bufs = nn.buffers()
+        vals = np.frombuffer(bufs[1], "<i8", count=len(nn) + nn.offset)[nn.offset :]
+        return vals, valid
     if dtype == "date":
         np_vals = nn.to_numpy(zero_copy_only=False)  # datetime64[D]
         return np_vals.astype("datetime64[D]").view(np.int64).astype(np.int32), valid
@@ -377,6 +385,7 @@ _PA_TYPES = {
     "date": pa.date32(),
     "timestamp_us": pa.timestamp("us"),
     "interval_dt": pa.duration("us"),
+    "time_ns": pa.time64("ns"),
 }
 
 
@@ -415,6 +424,10 @@ def _values_to_arrow(values, valid: np.ndarray, dtype: str) -> pa.Array:
         full = np.zeros(n, dtype=np.int64)
         full[valid] = np.asarray(values, dtype=np.int64)
         return pa.array(full.view("timedelta64[us]"), type=pa.duration("us"), mask=mask)
+    if dtype == "time_ns":
+        full = np.zeros(n, dtype=np.int64)
+        full[valid] = np.asarray(values, dtype=np.int64)
+        return pa.array(full, type=pa.time64("ns"), mask=mask)
     if dtype == "date":
         full = np.zeros(n, dtype=np.int32)
         full[valid] = np.asarray(values, dtype=np.int32)
@@ -752,9 +765,11 @@ def _column_stats(arr: pa.Array, dtype: str):
     than made incorrect.  Unorderable dtypes (bool/binary/lists) carry
     no stats."""
     base = dtype.split("(")[0]
-    # interval: no canonical string form Spark can cast back for the
-    # scan predicate — unprunable rather than wrong
-    if dtype.startswith("list_") or base in ("bool", "binary", "interval_dt"):
+    # interval/time: no canonical string form Spark reliably casts back
+    # for the scan predicate — unprunable rather than wrong
+    if dtype.startswith("list_") or base in (
+        "bool", "binary", "interval_dt", "time_ns",
+    ):
         return None, None
     try:
         if base in ("float64", "float32"):

@@ -88,6 +88,10 @@ DTYPE_IDS = {
     # YearMonthIntervalType is unsupported by Spark's Arrow bridge —
     # UNSUPPORTED_DATA_TYPE_FOR_ARROW_CONVERSION — so it stays n-a)
     "interval_dt": 18,
+    # TIME_MICROS analogue (reference lib/types.js:44-53): Spark 4's
+    # TimeType crosses the Arrow bridge as time64[ns]; carried as int64
+    # NANOS-since-midnight under any int codec
+    "time_ns": 19,
     # multi-level repetition (Dremel rLevelMax > 1, the reference's
     # nested-repeated shapes — /root/reference/lib/shred.js:75-135
     # recursion, test/shred.js nested-repeated cases): one id for ANY
@@ -110,7 +114,9 @@ def dtype_id(dtype: str) -> int:
         return DTYPE_IDS["list_nested"]
     return DTYPE_IDS[dtype]
 
-_INT_LIKE = {"int64", "int32", "date", "timestamp_us", "interval_dt", "bool"}
+_INT_LIKE = {
+    "int64", "int32", "date", "timestamp_us", "interval_dt", "time_ns", "bool",
+}
 _PTYPE = {
     "int64": "INT64",
     "int32": "INT32",
@@ -119,6 +125,7 @@ _PTYPE = {
     "date": "INT32",
     "timestamp_us": "INT64",
     "interval_dt": "INT64",
+    "time_ns": "INT64",
 }
 
 SAMPLE_VALUES = 4096  # selector cardinality/run sample
@@ -152,6 +159,18 @@ def series_to_values(series: pd.Series, dtype: str):
     elif dtype == "interval_dt":
         arr = pd.to_timedelta(nn).to_numpy()
         vals = arr.astype("timedelta64[us]").view(np.int64)
+    elif dtype == "time_ns":
+        # datetime.time objects -> nanos since midnight (convenience
+        # path only; the pipeline's arrow path reads the int64 buffer)
+        vals = np.fromiter(
+            (
+                ((t.hour * 60 + t.minute) * 60 + t.second) * 10**9
+                + t.microsecond * 1000
+                for t in nn
+            ),
+            dtype=np.int64,
+            count=len(nn),
+        )
     elif dtype == "date":
         arr = pd.to_datetime(nn).to_numpy()
         vals = arr.astype("datetime64[D]").view(np.int64).astype(np.int32)
@@ -187,6 +206,21 @@ def values_to_series(values, valid: np.ndarray, dtype: str) -> pd.Series:
         out = np.full(n, np.timedelta64("NaT", "us"))
         out[valid] = np.asarray(values, dtype=np.int64).view("timedelta64[us]")
         return pd.Series(out)
+    if dtype == "time_ns":
+        import datetime as _dt
+
+        out = np.empty(n, dtype=object)
+        out[valid] = [
+            _dt.time(
+                int(v // 3_600_000_000_000) % 24,
+                int(v // 60_000_000_000) % 60,
+                int(v // 1_000_000_000) % 60,
+                int(v % 1_000_000_000) // 1000,
+            )
+            for v in np.asarray(values, dtype=np.int64)
+        ]
+        out[~valid] = None
+        return pd.Series(out, dtype=object)
     if dtype == "date":
         out = np.full(n, np.datetime64("NaT", "D"))
         out[valid] = np.asarray(values, dtype=np.int64).astype("datetime64[D]")
@@ -377,7 +411,7 @@ def select_codec(vals, dtype: str, fsst_state: dict | None = None) -> tuple[str,
         return PLAIN, info
     if dtype in (
         "float64", "float32", "int64", "int32", "date", "timestamp_us",
-        "interval_dt",
+        "interval_dt", "time_ns",
     ):
         # decision cache: same policy as the string path below — numeric
         # chunks of one column within a task are near-i.i.d., so the

@@ -55,6 +55,9 @@ _SPARK_TO_LOGICAL: dict[type, str] = {
     # int64 micros.  YearMonthIntervalType can't cross Spark's Arrow
     # bridge (UNSUPPORTED_DATA_TYPE_FOR_ARROW_CONVERSION) -> stays n-a.
     T.DayTimeIntervalType: "interval_dt",
+    # TIME_MICROS/MILLIS (reference lib/types.js:44-53): Spark 4's
+    # TimeType crosses the Arrow bridge as time64[ns] -> int64 nanos
+    T.TimeType: "time_ns",
 }
 
 _LOGICAL_TO_SPARK: dict[str, T.DataType] = {
@@ -70,6 +73,7 @@ _LOGICAL_TO_SPARK: dict[str, T.DataType] = {
     # full-range DAY TO SECOND; a narrower source field round-trips with
     # identical micros, only the declared start/end fields widen
     "interval_dt": T.DayTimeIntervalType(),
+    "time_ns": T.TimeType(6),
 }
 
 
@@ -404,6 +408,7 @@ _LOGICAL_TO_PA: dict[str, pa.DataType] = {
     "date": pa.date32(),
     "timestamp_us": pa.timestamp("us"),
     "interval_dt": pa.duration("us"),
+    "time_ns": pa.time64("ns"),
 }
 
 

@@ -154,3 +154,28 @@ def test_interval_dt_roundtrip():
     assert out2.to_pylist() == with_nulls.to_pylist()
     # intervals carry no zone-map stats (no castable string form)
     assert arrow_chunk._column_stats(vals, "interval_dt") == (None, None)
+
+
+def test_time_ns_roundtrip():
+    """TIME (reference lib/types.js:44-53) — Spark 4 TimeType slice:
+    int64 nanos-since-midnight under the int codecs."""
+    import datetime as dt
+
+    vals = pa.array(
+        [dt.time(12, 34, 56, 789000), dt.time(0, 0), None, dt.time(23, 59, 59, 999999)],
+        type=pa.time64("ns"),
+    )
+    blob, stats = arrow_chunk.encode_arrow_column(vals, "time_ns")
+    out, dtype = arrow_chunk.decode_arrow_column(blob)
+    assert dtype == "time_ns"
+    assert out.to_pylist() == vals.to_pylist()
+    assert arrow_chunk.verify_arrow(blob, stats["sha256"])
+    # pandas convenience path agrees
+    import pandas as pd
+
+    s = pd.Series([dt.time(1, 2, 3, 4), None, dt.time(23, 0)], dtype=object)
+    blob2, st2 = chunk.encode_chunk(s, "time_ns")
+    out2, dt2 = chunk.decode_chunk(blob2)
+    assert dt2 == "time_ns"
+    assert out2.tolist() == [dt.time(1, 2, 3, 4), None, dt.time(23, 0)]
+    assert chunk.verify_chunk(blob2, st2["sha256"])

@@ -534,3 +534,23 @@ def test_write_encoded_partitioned_by_column(spark, tmp_path):
     got = sorted(r[0] for r in dec.collect())
     want = sorted(r[0] for r in df.select("l_orderkey").collect())
     assert got == want
+
+
+def test_time_roundtrip_spark(spark):
+    """Spark 4 TimeType end-to-end through the mapInArrow pipeline
+    (TIME is config-gated in this Spark build)."""
+    prev = spark.conf.get("spark.sql.timeType.enabled", "false")
+    spark.conf.set("spark.sql.timeType.enabled", "true")
+    try:
+        df = load_table(spark, SF, "lineitem").select(
+            F.expr(
+                "make_time(CAST(l_linenumber AS INT) % 24, 30, "
+                "CAST(l_quantity % 60 AS DECIMAL(8,6)))"
+            ).alias("tt")
+        )
+        out = pipeline.roundtrip_column(df, "tt")
+        a = sorted(str(r[0]) for r in df.collect())
+        b = sorted(str(r[0]) for r in out.collect())
+        assert a == b
+    finally:
+        spark.conf.set("spark.sql.timeType.enabled", prev)
