@@ -243,3 +243,96 @@ def test_flba_chunk_roundtrip(values):
     got = [None if v is None else bytes(v) for v in out.tolist()]
     assert got == values
     assert chunklib.verify_chunk(blob, stats["sha256"])
+
+
+@FAST
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.lists(
+                st.one_of(st.none(), st.lists(st.integers(-(2**40), 2**40), max_size=5)),
+                max_size=4,
+            ),
+        ),
+        min_size=0,
+        max_size=60,
+    )
+)
+def test_nested_list_chunk_roundtrip(values):
+    """rLevelMax=2 with nulls at every level — randomized."""
+    import pyarrow as pa
+
+    from parquetjs_spark import arrow_chunk
+
+    arr = pa.array(values, type=arrow_chunk.pa_type_of("list_list_int64"))
+    blob, stats = arrow_chunk.encode_arrow_column(arr, "list_list_int64")
+    out, dtype = arrow_chunk.decode_arrow_column(blob)
+    assert dtype == "list_list_int64"
+    assert out.to_pylist() == arr.to_pylist()
+    assert arrow_chunk.verify_arrow(blob, stats["sha256"])
+
+
+@FAST
+@given(
+    st.lists(
+        st.one_of(st.none(), st.integers(-(2**62), 2**62 - 1)),
+        min_size=0,
+        max_size=200,
+    )
+)
+def test_interval_chunk_roundtrip(values):
+    import pyarrow as pa
+
+    from parquetjs_spark import arrow_chunk
+
+    arr = pa.array(values, type=pa.duration("us"))
+    blob, stats = arrow_chunk.encode_arrow_column(arr, "interval_dt")
+    out, dtype = arrow_chunk.decode_arrow_column(blob)
+    assert dtype == "interval_dt"
+    assert out.to_pylist() == arr.to_pylist()
+    assert arrow_chunk.verify_arrow(blob, stats["sha256"])
+
+
+@FAST
+@given(
+    st.lists(
+        st.one_of(st.none(), st.integers(0, 86_399_999_999_999)),
+        min_size=0,
+        max_size=200,
+    )
+)
+def test_time_chunk_roundtrip(values):
+    """nanos-since-midnight domain, randomized with nulls."""
+    import pyarrow as pa
+
+    from parquetjs_spark import arrow_chunk
+
+    arr = pa.array(
+        np.array([v if v is not None else 0 for v in values], dtype=np.int64),
+        type=pa.time64("ns"),
+        mask=np.array([v is None for v in values], dtype=bool),
+    )
+    blob, stats = arrow_chunk.encode_arrow_column(arr, "time_ns")
+    out, dtype = arrow_chunk.decode_arrow_column(blob)
+    assert dtype == "time_ns"
+    assert out.to_pylist() == arr.to_pylist()
+    assert arrow_chunk.verify_arrow(blob, stats["sha256"])
+
+
+@FAST
+@given(st.lists(st.one_of(st.none(), st.binary(max_size=40)), max_size=120))
+def test_bloom_never_false_negative(values):
+    """Every non-null encoded value must pass its own chunk's bloom."""
+    import pyarrow as pa
+
+    from parquetjs_spark import arrow_chunk
+    from parquetjs_spark.codecs import bloom
+
+    arr = pa.array(values, type=pa.binary())
+    _, stats = arrow_chunk.encode_arrow_column(arr, "binary")
+    bits = stats["bloom"]
+    assert bits is not None
+    for v in values:
+        if v is not None:
+            assert bloom.might_contain(bits, v, "binary")
