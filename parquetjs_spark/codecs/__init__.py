@@ -2,7 +2,7 @@
 (which registers only PLAIN and RLE); ours adds DICT_RLE, FOR_BITPACK and
 FSST per the north rule."""
 
-from . import compress, dictionary, for_bp, fsst, plain, rle, strstream, util
+from . import bloom, compress, dictionary, for_bp, fsst, plain, rle, strstream, util
 
 PLAIN = "PLAIN"
 RLE = "RLE"
@@ -17,6 +17,7 @@ CODEC_IDS = {PLAIN: 0, RLE: 1, DICT_RLE: 2, FOR_BITPACK: 3, FSST: 4, FLBA: 5}
 CODEC_NAMES = {v: k for k, v in CODEC_IDS.items()}
 
 __all__ = [
+    "bloom",
     "compress",
     "dictionary",
     "for_bp",
