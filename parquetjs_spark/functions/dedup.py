@@ -320,3 +320,82 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5, k: int = 3) -> 
         .where(F.col("jaccard_pct") >= int(threshold * 100))
         .select("doc_a", "doc_b", "jaccard_pct")
     )
+
+
+# --------------------------------------------------------------------------
+# cluster resolution: candidate pairs -> connected components -> canonical
+# --------------------------------------------------------------------------
+
+
+def dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Resolve duplicate PAIRS into duplicate CLUSTERS: connected
+    components by iterative min-label propagation, pure DataFrame ops.
+
+    Input: (doc_a, doc_b) edges (e.g. minhash_dedup_pairs output).
+    Output: (doc_id, cluster_id) for every doc that appears in an edge;
+    cluster_id = the minimum doc_id of its component — deterministic,
+    so the same canonical representative survives any run.
+
+    Scale shape: each iteration is one join + one groupBy on the edge
+    list (both shuffles keyed by doc id — uniform), state is one row
+    per distinct doc.  Min-label propagation converges in O(component
+    diameter) iterations; near-dup clusters are shallow (stars/chains
+    around a template), so the default cap is generous.  The driver
+    loop runs a bounded count per iteration — never data-proportional
+    driver state."""
+    edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    edges = (
+        edges.unionByName(
+            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("a").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .persist()
+    )
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(labels, edges.a == labels.doc_id)
+            .groupBy(F.col("b").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def dedup_keep_canonical(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Drop every duplicate except its cluster's canonical (minimum
+    doc_id) representative — the final step of a dedup pipeline.  Docs
+    in no cluster pass through untouched (broadcast-able anti-join when
+    the duplicate set is small relative to the corpus, as in practice)."""
+    losers = (
+        dup_clusters(pairs)
+        .where(F.col("doc_id") != F.col("cluster_id"))
+        .select("doc_id")
+    )
+    return docs.join(losers, "doc_id", "left_anti")

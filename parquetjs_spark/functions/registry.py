@@ -99,6 +99,23 @@ def q_minhash_dedup_pairs_seeded(spark, sf_dir):
     return dedup.minhash_dedup_pairs(_seeded_docs(spark, sf_dir))
 
 
+def q_dup_clusters_seeded(spark, sf_dir):
+    """Connected-component cluster resolution over exact-duplicate pairs
+    (SQL-reproducible: pairs come from a text self-join, so the DuckDB
+    oracle can rebuild the same clusters with a window MIN)."""
+    from pyspark.sql import functions as F
+
+    from . import dedup
+
+    docs = _seeded_docs(spark, sf_dir)
+    a = docs.select(F.col("doc_id").alias("doc_a"), "text")
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("t2"))
+    pairs = a.join(b, (a.text == b.t2) & (a.doc_a < b.doc_b)).select(
+        "doc_a", "doc_b"
+    )
+    return dedup.dup_clusters(pairs)
+
+
 def q_distinct_doc_count(spark, sf_dir):
     from . import dedup
 
@@ -124,12 +141,6 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
 
 
 # --- similarity -------------------------------------------------------------
-
-
-def q_emb_label_counts(spark, sf_dir):
-    from pyspark.sql import functions as F
-
-    return _embs(spark, sf_dir).groupBy("label").agg(F.count("*").alias("n"))
 
 
 def q_emb_topk_vec0(spark, sf_dir):
@@ -257,11 +268,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the tail of a 63-entry dict and got no correctness rows at all.
     # Dropped for budget (each operator stays covered by another row):
     # exact_dup_groups + minhash_dedup_pairs unseeded (vacuous/weaker
-    # twins of the *_seeded rows) and emb_dims (trivial sanity query).
+    # twins of the *_seeded rows), emb_dims + emb_label_counts (trivial
+    # sanity queries over the raw table, not engine operators).
     return {
         "simhash_fingerprints": q_simhash_fingerprints,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-        "emb_label_counts": q_emb_label_counts,
+        "dup_clusters_seeded": q_dup_clusters_seeded,
         "emb_topk_vec0": q_emb_topk_vec0,
         "emb_lsh_topk_vec0": q_emb_lsh_topk_vec0,
         "emb_ivf_topk_vec0": q_emb_ivf_topk_vec0,
@@ -321,8 +333,11 @@ def oracle_sql() -> dict[str, str]:
             "ON b.doc_id = a.doc_id + 1"
         ),
         # minhash/simhash/ngram pairs: custom stable hashing -> rows-only
-        "emb_label_counts": (
-            "SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label"
+        "dup_clusters_seeded": (
+            f"WITH s AS (SELECT * FROM {_SEEDED_ORACLE_SRC} t), "
+            "d AS (SELECT text FROM s GROUP BY text HAVING COUNT(*) > 1) "
+            "SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS cluster_id "
+            "FROM s WHERE text IN (SELECT text FROM d)"
         ),
         # emb topk / near-dup: float-order sensitive -> rows-only
         "media_metadata": (

@@ -195,3 +195,40 @@ def test_kmeans_ivf_deterministic(spark):
     _, c1 = similarity.ivf_assign(df, n_centroids=6, kmeans_iters=2)
     _, c2 = similarity.ivf_assign(df, n_centroids=6, kmeans_iters=2)
     assert np.array_equal(c1, c2)
+
+
+def test_dup_clusters_chain_and_star(spark):
+    """Pairs forming a chain (a-b, b-c) and a star must resolve to one
+    cluster each with the minimum id as canonical."""
+    from parquetjs_spark.functions import dedup
+
+    pairs = spark.createDataFrame(
+        [(2, 5), (5, 9), (20, 21), (20, 22), (20, 23)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        (r["doc_id"], r["cluster_id"])
+        for r in dedup.dup_clusters(pairs).collect()
+    }
+    assert got == {
+        (2, 2), (5, 2), (9, 2),
+        (20, 20), (21, 20), (22, 20), (23, 20),
+    }
+
+
+def test_dedup_keep_canonical_end_to_end(spark):
+    """Seeded exact dups: pipeline pairs -> clusters -> canonical keep."""
+    from parquetjs_spark.functions import dedup
+    from parquetjs_spark.functions.registry import _seeded_docs
+
+    docs = _seeded_docs(spark, "/root/testdata/sf0.001")
+    pairs = dedup.minhash_dedup_pairs(docs)
+    kept = dedup.dedup_keep_canonical(docs, pairs)
+    n_docs, n_kept = docs.count(), kept.count()
+    n_losers = dedup.dup_clusters(pairs).where(
+        F.col("doc_id") != F.col("cluster_id")
+    ).count()
+    assert n_kept == n_docs - n_losers
+    # every seeded exact duplicate (id+10M) loses to its original
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert not any(i >= 10_000_000 and i < 20_000_000 for i in kept_ids)
