@@ -399,3 +399,72 @@ def dedup_keep_canonical(docs: DataFrame, pairs: DataFrame) -> DataFrame:
         .select("doc_id")
     )
     return docs.join(losers, "doc_id", "left_anti")
+
+
+def simhash_near_dup_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    bands: int = 4,
+    max_bucket_size: int = 256,
+    fps: DataFrame | None = None,
+) -> DataFrame:
+    """SimHash near-dup pairs: band the 64-bit fingerprint into
+    ``bands`` 16-bit keys, bucket-join within (band, key), verify by
+    exact Hamming distance (JVM bit_count over xor).
+
+    Pigeonhole guarantee: any pair within Hamming distance
+    ``bands - 1`` shares at least one unchanged band, so with the
+    defaults (4 bands, max_hamming 3) recall is exact — every
+    qualifying pair collides in some bucket.  Same single-shuffle,
+    bucket-local, capped plan shape as lsh_candidate_pairs; the
+    verification is pure whole-stage-codegen (no Python).  ``fps`` may
+    be passed pre-persisted; referenced three times otherwise."""
+    width = 64 // bands
+    mask = (1 << width) - 1
+    if fps is None:
+        fps = simhash_fingerprints(docs).persist()
+    banded = fps.select(
+        "doc_id",
+        F.posexplode(
+            # unrolled per band: shiftrightunsigned needs a literal
+            # shift amount in the python API
+            F.array(
+                *[
+                    F.shiftrightunsigned("simhash", b * width).bitwiseAND(
+                        F.lit(mask)
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "key"),
+    )
+    grouped = (
+        banded.groupBy("band", "key")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .where((F.size("ids") >= 2) & (F.size("ids") <= max_bucket_size))
+    )
+    ids = F.col("ids")
+    pair_arr = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    cands = (
+        grouped.select(F.explode(pair_arr).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+    fa = fps.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("fp_a"))
+    fb = fps.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("fp_b"))
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        cands.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .withColumn("hamming", hamming.cast("int"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

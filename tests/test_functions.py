@@ -232,3 +232,24 @@ def test_dedup_keep_canonical_end_to_end(spark):
     # every seeded exact duplicate (id+10M) loses to its original
     kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
     assert not any(i >= 10_000_000 and i < 20_000_000 for i in kept_ids)
+
+
+def test_simhash_near_dup_pairs_seeded(spark):
+    """Seeded exact dups have Hamming 0 and must all surface; the
+    one-word-appended near-dups sit within a few bits for long docs."""
+    from parquetjs_spark.functions import dedup
+    from parquetjs_spark.functions.registry import _seeded_docs
+
+    docs = _seeded_docs(spark, "/root/testdata/sf0.001")
+    pairs = dedup.simhash_near_dup_pairs(docs, max_hamming=3)
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    exact_expected = {
+        (i, i + 10_000_000)
+        for i in range(0, 500, 10)
+    }
+    assert exact_expected <= got
+    # verification is exact: every reported pair really is <= 3 bits
+    fps = {r["doc_id"]: r["simhash"] for r in
+           dedup.simhash_fingerprints(docs).collect()}
+    for a, b in got:
+        assert bin((fps[a] ^ fps[b]) & (2**64 - 1)).count("1") <= 3
