@@ -554,3 +554,31 @@ def test_time_roundtrip_spark(spark):
         assert a == b
     finally:
         spark.conf.set("spark.sql.timeType.enabled", prev)
+
+
+def test_mixed_new_dtypes_full_table_roundtrip(spark):
+    """decode_table over one table mixing every round-3 dtype: interval,
+    time, decimal, nested list, struct — the cursor analogue must
+    reassemble them all positionally in one pass."""
+    prev = spark.conf.get("spark.sql.timeType.enabled", "false")
+    spark.conf.set("spark.sql.timeType.enabled", "true")
+    try:
+        df = load_table(spark, SF, "lineitem").limit(3000).select(
+            "l_orderkey",
+            F.expr("make_dt_interval(0, 1, 2, l_quantity)").alias("dur"),
+            F.expr(
+                "make_time(CAST(l_linenumber AS INT) % 24, 0, "
+                "CAST(l_quantity % 60 AS DECIMAL(8,6)))"
+            ).alias("tt"),
+            F.col("l_extendedprice").cast("decimal(12,2)").alias("price"),
+            F.array(F.array(F.col("l_quantity")), F.array()).alias("mat"),
+            F.struct(F.col("l_linenumber").alias("ln")).alias("s"),
+        )
+        out = pipeline.roundtrip_table(df)
+        key = lambda r: (
+            r["l_orderkey"], str(r["dur"]), str(r["tt"]), str(r["price"]),
+            tuple(tuple(x) for x in r["mat"]), r["s"]["ln"],
+        )
+        assert sorted(map(key, out.collect())) == sorted(map(key, df.collect()))
+    finally:
+        spark.conf.set("spark.sql.timeType.enabled", prev)
