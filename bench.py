@@ -32,7 +32,7 @@ def _steal_s() -> float:
 
 
 def timed(fn):
-    """Best of 3-5 runs.  Two effects are being excluded, both absent
+    """Best of 4-6 runs.  Two effects are being excluded, both absent
     from an hours-long production job: the first execution of each plan
     shape pays one-time JVM codegen/AQE compile costs, and this shared
     Firecracker host suffers episodic contention — hypervisor steal

@@ -209,6 +209,16 @@ def values_to_series(values, valid: np.ndarray, dtype: str) -> pd.Series:
     if dtype == "time_ns":
         import datetime as _dt
 
+        vals64 = np.asarray(values, dtype=np.int64)
+        if len(vals64) and int((vals64 % 1000).max()) != 0:
+            # datetime.time carries micros only — refuse to silently
+            # drop sub-microsecond precision (the arrow path preserves
+            # full nanos; use decode_arrow_column for such data)
+            raise ValueError(
+                "time_ns values carry sub-microsecond precision that "
+                "datetime.time cannot represent; decode via the arrow "
+                "path instead"
+            )
         out = np.empty(n, dtype=object)
         out[valid] = [
             _dt.time(
@@ -217,7 +227,7 @@ def values_to_series(values, valid: np.ndarray, dtype: str) -> pd.Series:
                 int(v // 1_000_000_000) % 60,
                 int(v % 1_000_000_000) // 1000,
             )
-            for v in np.asarray(values, dtype=np.int64)
+            for v in vals64
         ]
         out[~valid] = None
         return pd.Series(out, dtype=object)

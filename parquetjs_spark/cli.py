@@ -153,10 +153,11 @@ def cmd_scan(args) -> int:
         return 2
     dtype = drow[0]["dtype"]
     if args.eq is not None:
-        # point lookup: bloom + zone-map pruned (scan_eq); numeric
-        # literals probe as ints, everything else as strings
+        # point lookup: bloom + zone-map pruned (scan_eq); int columns
+        # take int literals, date/timestamp take ISO strings (scan_eq
+        # normalizes), everything else probes as strings
         val = args.eq
-        if dtype in ("int64", "int32", "date", "timestamp_us"):
+        if dtype in ("int64", "int32"):
             val = int(val)
         out = pipeline.scan_eq(blobs, args.column, val, dtype=dtype)
     else:

@@ -351,11 +351,16 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         .distinct()
         .persist()
     )
+    # localCheckpoint (eager) rather than persist: each iteration's plan
+    # otherwise embeds the whole join lineage of every previous one, and
+    # ~10 nested iterations blow up analysis/driver memory even on tiny
+    # inputs; checkpointing truncates the lineage to the materialized
+    # state (one row per doc)
     labels = (
         edges.select(F.col("a").alias("doc_id"))
         .distinct()
         .withColumn("cluster_id", F.col("doc_id"))
-        .persist()
+        .localCheckpoint()
     )
     for _ in range(max_iters):
         nbr_min = (
@@ -372,7 +377,7 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
                     F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
                 ).alias("cluster_id"),
             )
-            .persist()
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -380,10 +385,17 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
             .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # silent non-convergence would split a component into several
+        # "clusters" and let duplicates survive dedup_keep_canonical
+        edges.unpersist()
+        raise RuntimeError(
+            f"dup_clusters did not converge in {max_iters} iterations "
+            "(a component's diameter exceeds the cap); raise max_iters"
+        )
     edges.unpersist()
     return labels
 
@@ -419,6 +431,12 @@ def simhash_near_dup_pairs(
     bucket-local, capped plan shape as lsh_candidate_pairs; the
     verification is pure whole-stage-codegen (no Python).  ``fps`` may
     be passed pre-persisted; referenced three times otherwise."""
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs > {bands - 1} bands for "
+            "exact recall (a pair may differ in every band and never "
+            "collide); raise bands or lower max_hamming"
+        )
     width = 64 // bands
     mask = (1 << width) - 1
     if fps is None:

@@ -749,6 +749,44 @@ def roundtrip_table(
     return decode_table(blobs, cols)
 
 
+def _ensure_stat_cols(blob_df: DataFrame, bloom: bool = False) -> DataFrame:
+    """Backfill pruning-metadata columns for blob tables written before
+    they existed (null = conservatively unprunable)."""
+    for stat_col in ("stat_min", "stat_max"):
+        if stat_col not in blob_df.columns:
+            blob_df = blob_df.withColumn(stat_col, F.lit(None).cast("string"))
+    if bloom and "bloom" not in blob_df.columns:
+        blob_df = blob_df.withColumn("bloom", F.lit(None).cast("array<long>"))
+    return blob_df
+
+
+def _resolve_dtype(rows: DataFrame, column: str, dtype: str | None) -> str:
+    """dtype is constant per column; callers that know it (manifest in
+    hand, or the CLI's resolver) pass it and skip this one-row job."""
+    if dtype is not None:
+        return dtype
+    drow = rows.select("dtype").limit(1).collect()
+    if not drow:
+        raise ValueError(f"no chunks for column {column}")
+    return drow[0][0]
+
+
+def _zonemap_filter(rows: DataFrame, styp: T.DataType, lo=None, hi=None) -> DataFrame:
+    """Keep chunks whose [stat_min, stat_max] can intersect [lo, hi];
+    chunks without stats (nulls) are conservatively kept."""
+    if lo is not None:
+        rows = rows.where(
+            F.col("stat_max").isNull()
+            | (F.col("stat_max").cast(styp) >= F.lit(lo).cast(styp))
+        )
+    if hi is not None:
+        rows = rows.where(
+            F.col("stat_min").isNull()
+            | (F.col("stat_min").cast(styp) <= F.lit(hi).cast(styp))
+        )
+    return rows
+
+
 def scan_column(
     blob_df: DataFrame,
     column: str,
@@ -768,35 +806,17 @@ def scan_column(
     range-predicate query needs (clustered/sorted data prunes hardest —
     same math as Parquet row-group skipping)."""
     out_name = out_name or column
-    for stat_col in ("stat_min", "stat_max"):
-        if stat_col not in blob_df.columns:
-            # blob table written before zone-map stats existed: null
-            # stats = conservatively unprunable
-            blob_df = blob_df.withColumn(stat_col, F.lit(None).cast("string"))
+    blob_df = _ensure_stat_cols(blob_df)
     rows = blob_df.where(F.col("column") == column)
-    if dtype is None:
-        drow = rows.select("dtype").limit(1).collect()
-        if not drow:
-            raise ValueError(f"no chunks for column {column}")
-        dtype = drow[0][0]
+    dtype = _resolve_dtype(rows, column, dtype)
     styp = spark_type_of(dtype)
-    lo_c = F.lit(lo).cast(styp) if lo is not None else None
-    hi_c = F.lit(hi).cast(styp) if hi is not None else None
-    # chunks without stats (nulls) are conservatively kept
-    if lo_c is not None:
-        rows = rows.where(
-            F.col("stat_max").isNull() | (F.col("stat_max").cast(styp) >= lo_c)
-        )
-    if hi_c is not None:
-        rows = rows.where(
-            F.col("stat_min").isNull() | (F.col("stat_min").cast(styp) <= hi_c)
-        )
+    rows = _zonemap_filter(rows, styp, lo, hi)
     out = decode_column(rows, column, out_name=out_name, dtype=dtype)
     vcol = F.col(f"`{out_name}`")
-    if lo_c is not None:
-        out = out.where(vcol >= lo_c)
-    if hi_c is not None:
-        out = out.where(vcol <= hi_c)
+    if lo is not None:
+        out = out.where(vcol >= F.lit(lo).cast(styp))
+    if hi is not None:
+        out = out.where(vcol <= F.lit(hi).cast(styp))
     return out
 
 
@@ -814,29 +834,11 @@ def scan_table(
     (decode_table) and the residual predicate filters rows.  The
     pruning join is a broadcast semi-join on row-group identity — the
     kept-groups list is manifest-sized metadata, never data-sized."""
-    for stat_col in ("stat_min", "stat_max"):
-        if stat_col not in blob_df.columns:
-            blob_df = blob_df.withColumn(stat_col, F.lit(None).cast("string"))
+    blob_df = _ensure_stat_cols(blob_df)
     pred_rows = blob_df.where(F.col("column") == predicate_column)
-    if pred_dtype is None:
-        # dtype is constant per column; callers that know it (manifest
-        # in hand, or the CLI's resolver) should pass pred_dtype and
-        # skip this one-row job
-        drow = pred_rows.select("dtype").limit(1).collect()
-        if not drow:
-            raise ValueError(f"no chunks for column {predicate_column}")
-        pred_dtype = drow[0][0]
+    pred_dtype = _resolve_dtype(pred_rows, predicate_column, pred_dtype)
     styp = spark_type_of(pred_dtype)
-    if lo is not None:
-        pred_rows = pred_rows.where(
-            F.col("stat_max").isNull()
-            | (F.col("stat_max").cast(styp) >= F.lit(lo).cast(styp))
-        )
-    if hi is not None:
-        pred_rows = pred_rows.where(
-            F.col("stat_min").isNull()
-            | (F.col("stat_min").cast(styp) <= F.lit(hi).cast(styp))
-        )
+    pred_rows = _zonemap_filter(pred_rows, styp, lo, hi)
     keep = pred_rows.select("part_id", "chunk_seq").distinct()
     pruned = blob_df.join(
         F.broadcast(keep), on=["part_id", "chunk_seq"], how="left_semi"
@@ -879,33 +881,50 @@ def scan_eq(
     reassemble whole row groups (scan_table-style broadcast semi-join).
     Chunks without a bloom (old tables, unbloomable dtypes) stay
     conservatively unpruned."""
+    import datetime as _dt
+
     from .codecs import bloom as bloomlib
 
-    for stat_col in ("stat_min", "stat_max"):
-        if stat_col not in blob_df.columns:
-            blob_df = blob_df.withColumn(stat_col, F.lit(None).cast("string"))
-    if "bloom" not in blob_df.columns:
-        blob_df = blob_df.withColumn("bloom", F.lit(None).cast("array<long>"))
+    blob_df = _ensure_stat_cols(blob_df, bloom=True)
     pred_rows = blob_df.where(F.col("column") == column)
-    if dtype is None:
-        drow = pred_rows.select("dtype").limit(1).collect()
-        if not drow:
-            raise ValueError(f"no chunks for column {column}")
-        dtype = drow[0][0]
+    dtype = _resolve_dtype(pred_rows, column, dtype)
     styp = spark_type_of(dtype)
+    # normalize date/timestamp literals BOTH ways: the Spark predicate
+    # needs a typed literal (Spark forbids INT -> DATE/TIMESTAMP casts)
+    # while the bloom probe needs the logical int the encoder hashed
+    # (days / micros); accept native objects, ISO strings, or the ints
+    probe_val = value
+    if dtype == "date":
+        if isinstance(value, str):
+            value = _dt.date.fromisoformat(value)
+        if isinstance(value, _dt.datetime):
+            value = value.date()
+        if isinstance(value, _dt.date):
+            probe_val = (value - _dt.date(1970, 1, 1)).days
+        else:
+            probe_val = int(value)
+            value = _dt.date(1970, 1, 1) + _dt.timedelta(days=probe_val)
+    elif dtype == "timestamp_us":
+        if isinstance(value, str):
+            value = _dt.datetime.fromisoformat(value)
+        if isinstance(value, _dt.datetime):
+            probe_val = (
+                value.replace(tzinfo=None) - _dt.datetime(1970, 1, 1)
+            ) // _dt.timedelta(microseconds=1)
+        else:
+            probe_val = int(value)
+            value = _dt.datetime(1970, 1, 1) + _dt.timedelta(
+                microseconds=probe_val
+            )
     vlit = F.lit(value).cast(styp)
     # zone maps: min <= value <= max (null stats conservatively kept)
-    pred_rows = pred_rows.where(
-        (F.col("stat_max").isNull() | (F.col("stat_max").cast(styp) >= vlit))
-        & (F.col("stat_min").isNull() | (F.col("stat_min").cast(styp) <= vlit))
-    )
+    pred_rows = _zonemap_filter(pred_rows, styp, lo=value, hi=value)
     # bloom probes: every probed bit must be set (null bloom kept).
-    # Probing hashes the LOGICAL value exactly as the encoder did, so
-    # only int/str/bytes literals probe; anything else skips the bloom.
+    # Probing hashes the LOGICAL value exactly as the encoder did.
     # Bit positions derive from each chunk's own filter size
     # (h & (64*len(bloom) - 1)) so different-sized blooms mix freely.
-    if dtype in bloomlib.BLOOMABLE and isinstance(value, (int, str, bytes)):
-        for hj in bloomlib.probe_hashes(value, dtype):
+    if dtype in bloomlib.BLOOMABLE and isinstance(probe_val, (int, str, bytes)):
+        for hj in bloomlib.probe_hashes(probe_val, dtype):
             # SQL expr because pyspark's shiftleft() rejects a Column
             # shift amount; hj is a driver-computed literal
             pos = f"({hj}L & (size(bloom) * 64 - 1))"

@@ -179,3 +179,17 @@ def test_time_ns_roundtrip():
     assert dt2 == "time_ns"
     assert out2.tolist() == [dt.time(1, 2, 3, 4), None, dt.time(23, 0)]
     assert chunk.verify_chunk(blob2, st2["sha256"])
+
+
+def test_time_ns_pandas_path_refuses_sub_microsecond():
+    """datetime.time carries micros only — the pandas decode path must
+    refuse (not silently truncate) genuine nanosecond values; the arrow
+    path preserves them."""
+    vals = pa.array(
+        np.array([12_345_678_901], dtype=np.int64), type=pa.time64("ns")
+    )
+    blob, _ = arrow_chunk.encode_arrow_column(vals, "time_ns")
+    out, _ = arrow_chunk.decode_arrow_column(blob)  # arrow path: exact
+    assert out.cast(pa.int64()).to_pylist() == [12_345_678_901]
+    with pytest.raises(ValueError, match="sub-microsecond"):
+        chunk.decode_chunk(blob)

@@ -253,3 +253,28 @@ def test_simhash_near_dup_pairs_seeded(spark):
            dedup.simhash_fingerprints(docs).collect()}
     for a, b in got:
         assert bin((fps[a] ^ fps[b]) & (2**64 - 1)).count("1") <= 3
+
+
+def test_dup_clusters_raises_on_non_convergence(spark):
+    import pytest as _pytest
+
+    from parquetjs_spark.functions import dedup
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "doc_a long, doc_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedup.dup_clusters(chain, max_iters=2)
+    # enough iterations: one component rooted at 0
+    ok = dedup.dup_clusters(chain, max_iters=20)
+    assert {r["cluster_id"] for r in ok.collect()} == {0}
+
+
+def test_simhash_pairs_rejects_unsound_params(spark):
+    import pytest as _pytest
+
+    from parquetjs_spark.functions import dedup
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="max_hamming"):
+        dedup.simhash_near_dup_pairs(docs, max_hamming=5, bands=4)

@@ -582,3 +582,40 @@ def test_mixed_new_dtypes_full_table_roundtrip(spark):
         assert sorted(map(key, out.collect())) == sorted(map(key, df.collect()))
     finally:
         spark.conf.set("spark.sql.timeType.enabled", prev)
+
+
+def test_scan_eq_temporal_columns(spark):
+    """Point lookups on timestamp and date columns accept native
+    objects, ISO strings, or the raw logical ints; blooms prune via the
+    encoder's logical value (previously INT->DATE/TIMESTAMP casts
+    crashed the CLI path and native objects silently skipped the
+    bloom)."""
+    import datetime as dt
+
+    # timestamp_us (l_shipdate is TimestampNTZ in the fixture)
+    ts_df = load_table(spark, SF, "lineitem").select("l_shipdate")
+    ts_blobs = pipeline.encode_columns(ts_df, chunk_rows=512).cache()
+    # date (derived)
+    d_df = load_table(spark, SF, "lineitem").select(
+        F.col("l_shipdate").cast("date").alias("d")
+    )
+    d_blobs = pipeline.encode_columns(d_df, chunk_rows=512).cache()
+    try:
+        ts = ts_df.head()[0]
+        want_ts = ts_df.where(F.col("l_shipdate") == F.lit(ts)).count()
+        assert want_ts > 0
+        micros = (ts - dt.datetime(1970, 1, 1)) // dt.timedelta(microseconds=1)
+        for form in (ts, ts.isoformat(), micros):
+            assert (
+                pipeline.scan_eq(ts_blobs, "l_shipdate", form).count()
+                == want_ts
+            ), form
+
+        day = ts.date()
+        want_d = d_df.where(F.col("d") == F.lit(day)).count()
+        assert want_d > 0
+        for form in (day, day.isoformat(), (day - dt.date(1970, 1, 1)).days):
+            assert pipeline.scan_eq(d_blobs, "d", form).count() == want_d, form
+    finally:
+        ts_blobs.unpersist()
+        d_blobs.unpersist()
