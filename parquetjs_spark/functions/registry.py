@@ -306,7 +306,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(length(text) AS BIGINT) AS text_len, "
             "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, "
             "CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens, "
-            "CAST(list_max(list_transform(string_split(text, ' '), x -> length(x))) AS BIGINT) AS max_token_len "
+            "CAST(list_max(list_transform(string_split(text, ' '), x -> length(x))) AS BIGINT) AS max_token_len, "
+            r"CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS BIGINT) AS n_punct_chars, "
+            "CAST(len(list_filter(string_split(text, ' '), x -> list_contains("
+            "['and', 'for', 'in', 'is', 'it', 'of', 'the', 'to'], lower(x)))) AS BIGINT) AS n_stopword_tokens "
             "FROM documents"
         ),
         "doc_fingerprints": "SELECT doc_id, md5(text) AS fp FROM documents",

@@ -23,11 +23,20 @@ def token_counts(docs: DataFrame) -> DataFrame:
     )
 
 
+# fixed stopword list for the stopword-ratio signal (the en profile of
+# the language-ID heuristic below) — a deterministic, oracle-shared set
+_QUALITY_STOPWORDS = ("and", "for", "in", "is", "it", "of", "the", "to")
+
+
 def quality_metrics(docs: DataFrame) -> DataFrame:
     """Integer quality signals: length, token counts, vocabulary size,
-    longest token.  (Integer-valued on purpose: exactly reproducible in
-    any engine — the oracle needs no float tolerance.)"""
+    longest token, punctuation chars, stopword tokens — the
+    length/punct/stopword-ratio trio of a training-data quality filter
+    (ratios derive from the counts).  Integer-valued on purpose:
+    exactly reproducible in any engine — the oracle needs no float
+    tolerance."""
     toks = F.split(F.col("text"), " ")
+    stoplist = F.array(*[F.lit(w) for w in _QUALITY_STOPWORDS])
     return docs.select(
         "doc_id",
         F.length("text").cast("long").alias("text_len"),
@@ -36,6 +45,15 @@ def quality_metrics(docs: DataFrame) -> DataFrame:
         F.array_max(F.transform(toks, lambda t: F.length(t)))
         .cast("long")
         .alias("max_token_len"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace(F.col("text"), r"[^\w\s]", ""))
+        )
+        .cast("long")
+        .alias("n_punct_chars"),
+        F.size(F.filter(toks, lambda t: F.array_contains(stoplist, F.lower(t))))
+        .cast("long")
+        .alias("n_stopword_tokens"),
     )
 
 
