@@ -200,7 +200,11 @@ def main():
     def q6():
         from parquetjs_spark.functions import dedup, text
 
-        a = dedup.minhash_dedup_pairs(docs).count()
+        # caller-managed signature cache (library functions never
+        # persist on their own): compute once, release after the action
+        sigs = dedup.minhash_signatures(docs).persist()
+        a = dedup.minhash_dedup_pairs(docs, sigs=sigs).count()
+        sigs.unpersist()
         b = text.quality_metrics(docs).count()
         return a + b
 

@@ -107,11 +107,16 @@ def binary_views(arr: pa.Array) -> list[memoryview]:
         if pa.types.is_large_binary(t) or pa.types.is_large_string(t)
         else np.int32
     )
+    if len(arr) == 0:
+        return []
     bufs = arr.buffers()
+    if bufs[1] is None:
+        return [memoryview(b"")] * len(arr)
     offs = np.frombuffer(
         bufs[1], dtype=off_dtype, count=len(arr) + 1 + arr.offset
     )[arr.offset :]
-    data = memoryview(bufs[2])
+    # an all-empty binary array may carry no data buffer at all
+    data = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
     return [data[offs[i] : offs[i + 1]] for i in range(len(arr))]
 
 
@@ -126,6 +131,10 @@ def _strblock_from_pa(arr: pa.Array) -> StrBlock:
     else:
         off_dtype = np.int32
     bufs = arr.buffers()
+    if len(arr) == 0 or bufs[1] is None:
+        # empty child (e.g. every list in the chunk null/empty): pyarrow
+        # may hand back a zero-length or absent offsets buffer
+        return StrBlock(b"", np.zeros(1, dtype=np.int64))
     offsets = np.frombuffer(bufs[1], dtype=off_dtype, count=len(arr) + 1 + arr.offset)[
         arr.offset :
     ].astype(np.int64)
@@ -487,6 +496,15 @@ def _split_list(arr: pa.Array):
         nn = arr
     if isinstance(nn, pa.ChunkedArray):
         nn = nn.combine_chunks()
+    if len(nn) == 0 or nn.buffers()[1] is None:
+        # pyarrow SEGFAULTS flattening a list array whose offsets buffer
+        # is absent — IPC delivers such arrays for empty children (e.g.
+        # the 2nd+ nesting level of a chunk holding only empty lists)
+        return (
+            np.zeros(0, dtype=np.int64),
+            pa.array([], type=nn.type.value_type),
+            valid,
+        )
     lens = pc.list_value_length(nn).to_numpy(zero_copy_only=False).astype(np.int64)
     return lens, nn.flatten(), valid
 

@@ -173,6 +173,18 @@ def cmd_verify(args) -> int:
     from parquetjs_spark import pipeline
 
     spark = _spark(args)
+    fmt = pipeline.read_sha_format(spark, args.input)
+    if fmt != pipeline.SHA_FORMAT_VERSION:
+        # not corruption: the canonical sha definition changed since
+        # this table was written — every string chunk would "mismatch"
+        print(json.dumps({
+            "error": "old hash format",
+            "table_sha_format": fmt,
+            "engine_sha_format": pipeline.SHA_FORMAT_VERSION,
+            "hint": "manifest hashes predate the current canonical sha "
+                    "definition; re-encode to verify bit-identity",
+        }))
+        return 3
     blobs = pipeline.read_encoded(spark, args.input)
     report = pipeline.verify_blobs(blobs)
     bad = report.where(~F.col("ok")).count()

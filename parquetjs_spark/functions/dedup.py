@@ -198,13 +198,16 @@ def minhash_dedup_pairs(
     signature agreement >= threshold (estimate of Jaccard).
 
     Scale note: the signature DataFrame is referenced three times
-    (banding + the two verify joins), so when this function builds it
-    itself it persists it (MEMORY_AND_DISK) — the text scan + hashing
-    runs once, not three times.  Callers managing their own lifecycle
-    can pass ``sigs`` explicitly (persisted or not) instead."""
+    (banding + the two verify joins).  This function never persists on
+    your behalf — the default plan recomputes the text scan + hashing
+    per reference, which is correct but 3x the signature work.  Hot
+    paths (bench q6) pass ``sigs = minhash_signatures(docs).persist()``
+    and unpersist after their terminal action; that keeps cache
+    lifecycle with the caller instead of leaking it from a library
+    default."""
     rows_per_band = num_hashes // bands
     if sigs is None:
-        sigs = minhash_signatures(docs, num_hashes).persist()
+        sigs = minhash_signatures(docs, num_hashes)
     cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
     sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
@@ -419,29 +422,64 @@ def simhash_near_dup_pairs(
     bands: int = 4,
     max_bucket_size: int = 256,
     fps: DataFrame | None = None,
+    oversized_action: str = "drop",
 ) -> DataFrame:
-    """SimHash near-dup pairs: band the 64-bit fingerprint into
-    ``bands`` 16-bit keys, bucket-join within (band, key), verify by
-    exact Hamming distance (JVM bit_count over xor).
+    """SimHash near-dup pairs: collapse identical fingerprints to one
+    representative each (star pairs at Hamming 0), band the distinct
+    64-bit fingerprints into ``bands`` 16-bit keys, bucket-join within
+    (band, key), verify by exact Hamming distance (JVM bit_count).
 
-    Pigeonhole guarantee: any pair within Hamming distance
-    ``bands - 1`` shares at least one unchanged band, so with the
-    defaults (4 bands, max_hamming 3) recall is exact — every
-    qualifying pair collides in some bucket.  Same single-shuffle,
-    bucket-local, capped plan shape as lsh_candidate_pairs; the
-    verification is pure whole-stage-codegen (no Python).  ``fps`` may
-    be passed pre-persisted; referenced three times otherwise."""
+    Identical-fingerprint collapse first: the real-world oversized
+    bucket is boilerplate — thousands of byte-identical (or
+    simhash-identical) docs.  All members of such a group pair at
+    Hamming 0, which is transitive, so emitting a star (min doc_id ↔
+    each member) plus one banding representative per DISTINCT
+    fingerprint loses nothing for clustering: connected components over
+    the returned pairs equal the components over ALL qualifying pairs,
+    and hamming(a, c) == hamming(rep_a, c) exactly whenever
+    fp_a == fp_rep_a.  It also removes the O(n²) pair blowup those
+    groups would otherwise create.  The returned pair SET is therefore
+    deliberately star-reduced within identical-fingerprint groups, not
+    the full cartesian closure.
+
+    Pigeonhole guarantee: any representative pair within Hamming
+    distance ``bands - 1`` shares at least one unchanged band, so with
+    the defaults (4 bands, max_hamming 3) recall over distinct
+    fingerprints is exact — UNLESS more than ``max_bucket_size``
+    DISTINCT fingerprints collide on one 16-bit band value.  Such
+    residual oversized buckets are governed by ``oversized_action``:
+    ``"drop"`` (default) skips them — pairs whose ONLY shared band is
+    oversized are lost; ``"error"`` raises at execution time instead,
+    so the truncation can never pass silently when exactness matters.
+    ``fps`` is referenced three times (collapse + the two verify
+    joins); pass it pre-persisted to compute fingerprints once and
+    unpersist after your terminal action — nothing is cached here by
+    default (no leaked persists from library calls)."""
     if max_hamming > bands - 1:
         raise ValueError(
             f"max_hamming={max_hamming} needs > {bands - 1} bands for "
             "exact recall (a pair may differ in every band and never "
             "collide); raise bands or lower max_hamming"
         )
+    if oversized_action not in ("drop", "error"):
+        raise ValueError("oversized_action must be 'drop' or 'error'")
     width = 64 // bands
     mask = (1 << width) - 1
     if fps is None:
-        fps = simhash_fingerprints(docs).persist()
-    banded = fps.select(
+        fps = simhash_fingerprints(docs)
+    # --- identical-fingerprint star (exact, O(n) per group) ---
+    reps = fps.groupBy("simhash").agg(F.min("doc_id").alias("rep"))
+    star = (
+        fps.join(reps, "simhash")
+        .where(F.col("doc_id") != F.col("rep"))
+        .select(
+            F.col("rep").alias("doc_a"),
+            F.col("doc_id").alias("doc_b"),
+            F.lit(0).alias("hamming"),
+        )
+    )
+    rep_fps = reps.select(F.col("rep").alias("doc_id"), "simhash")
+    banded = rep_fps.select(
         "doc_id",
         F.posexplode(
             # unrolled per band: shiftrightunsigned needs a literal
@@ -456,10 +494,35 @@ def simhash_near_dup_pairs(
             )
         ).alias("band", "key"),
     )
-    grouped = (
-        banded.groupBy("band", "key")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
-        .where((F.size("ids") >= 2) & (F.size("ids") <= max_bucket_size))
+    grouped = banded.groupBy("band", "key").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("ids")
+    )
+    if oversized_action == "error":
+        oversized = F.size("ids") > max_bucket_size
+        grouped = grouped.withColumn(
+            "ids",
+            F.when(
+                oversized,
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "simhash_near_dup_pairs: bucket (band="
+                        ),
+                        F.col("band").cast("string"),
+                        F.lit(", key="),
+                        F.col("key").cast("string"),
+                        F.lit(") holds "),
+                        F.size("ids").cast("string"),
+                        F.lit(
+                            f" distinct fingerprints > max_bucket_size="
+                            f"{max_bucket_size}; recall would be truncated"
+                        ),
+                    )
+                ).cast("array<long>"),
+            ).otherwise(F.col("ids")),
+        )
+    grouped = grouped.where(
+        (F.size("ids") >= 2) & (F.size("ids") <= max_bucket_size)
     )
     ids = F.col("ids")
     pair_arr = F.flatten(
@@ -476,13 +539,14 @@ def simhash_near_dup_pairs(
         .select("p.doc_a", "p.doc_b")
         .distinct()
     )
-    fa = fps.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("fp_a"))
-    fb = fps.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("fp_b"))
+    fa = rep_fps.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("fp_a"))
+    fb = rep_fps.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("fp_b"))
     hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
-    return (
+    rep_pairs = (
         cands.join(fa, "doc_a")
         .join(fb, "doc_b")
         .withColumn("hamming", hamming.cast("int"))
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+    return star.unionByName(rep_pairs)

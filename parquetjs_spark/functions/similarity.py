@@ -111,6 +111,7 @@ def lsh_topk_for_id(
     k: int = 10,
     n_planes: int = 8,
     probes: int | None = None,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """ANN: restrict to the query's LSH bucket plus its ``probes``
     nearest buckets (multi-probe: flip one hyperplane bit each —
@@ -119,22 +120,33 @@ def lsh_topk_for_id(
     At scale the bucket filter prunes ~(1+probes)/2^n_planes of the
     table before any exact math; probes trades recall for candidates
     without re-hashing (default: all n_planes Hamming-1 buckets).
-    ``sigs`` is referenced twice (query lookup + candidate filter), so
-    it is persisted here — signatures compute once."""
-    sigs = lsh_signatures(embeddings, n_planes).persist()
-    qrow = sigs.where(F.col("vec_id") == query_id).head()
+
+    The hyperplanes are deterministic, so the QUERY's bucket is computed
+    driver-side from its embedding — the distributed signature pass runs
+    exactly once (candidate filter), and nothing is persisted here.
+    Callers issuing many queries over the same table should pass a
+    persisted ``sigs`` (lsh_signatures output) and manage its
+    lifecycle — this function never caches on your behalf."""
+    qrow = (
+        embeddings.where(F.col("vec_id") == query_id).select("embedding").head()
+    )
     if qrow is None:
         raise ValueError(f"vec_id {query_id} not found")
-    bucket = qrow["bucket"]
+    q = np.asarray(qrow[0], dtype=np.float64)
+    # same bits/weights math as lsh_signatures (seed fixed there)
+    planes = _hyperplanes(len(q), n_planes)
+    weights = (1 << np.arange(n_planes, dtype=np.uint64)).astype(np.uint64)
+    s = (( (q @ planes.T) > 0 ).astype(np.uint64) * weights).sum(dtype=np.uint64)
+    bucket = int(np.array([s], dtype=np.uint64).view(np.int64)[0])
+    if sigs is None:
+        sigs = lsh_signatures(embeddings, n_planes)
     n_probe = n_planes if probes is None else min(probes, n_planes)
     probe_buckets = [bucket] + [bucket ^ (1 << i) for i in range(n_probe)]
     cand_ids = sigs.where(
         F.col("bucket").isin(probe_buckets) & (F.col("vec_id") != query_id)
     ).select("vec_id")
     cands = embeddings.join(F.broadcast(cand_ids), "vec_id")
-    return topk_for_id(cands.unionByName(
-        embeddings.where(F.col("vec_id") == query_id)
-    ), query_id, k)
+    return brute_force_topk(cands, q, k)
 
 
 def _lloyd_step(embeddings: DataFrame, cents: np.ndarray) -> np.ndarray:

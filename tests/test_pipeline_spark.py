@@ -619,3 +619,114 @@ def test_scan_eq_temporal_columns(spark):
     finally:
         ts_blobs.unpersist()
         d_blobs.unpersist()
+
+
+def test_scan_eq_tz_aware_timestamp(spark):
+    """tz-aware probes (objects or ISO strings with an offset) must hash
+    the same micros the encoder stored: normalized to UTC wall-clock
+    before BOTH the bloom probe and the residual literal.  Previously
+    .replace(tzinfo=None) kept the literal's own wall-clock and the
+    bloom falsely pruned chunks holding the matching rows."""
+    import datetime as dt
+
+    ts_df = load_table(spark, SF, "lineitem").select("l_shipdate")
+    blobs = pipeline.encode_columns(ts_df, chunk_rows=512).cache()
+    try:
+        ts = ts_df.head()[0]
+        want = ts_df.where(F.col("l_shipdate") == F.lit(ts)).count()
+        assert want > 0
+        utc = ts.replace(tzinfo=dt.timezone.utc)
+        plus2 = utc.astimezone(dt.timezone(dt.timedelta(hours=2)))
+        for form in (utc, plus2, plus2.isoformat()):
+            assert (
+                pipeline.scan_eq(blobs, "l_shipdate", form).count() == want
+            ), form
+    finally:
+        blobs.unpersist()
+
+
+def test_keepset_broadcast_guard(spark):
+    """Selective scans broadcast the kept row-group set (guaranteed —
+    no shuffle-write of blob bytes); above max_broadcast_groups the
+    guard falls back to a plain semi-join (AQE picks the strategy), so
+    an unselective predicate can never OOM the driver on a 'pruning'
+    broadcast.  Results are identical either way."""
+    import contextlib
+    import io
+
+    df = load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    blobs = pipeline.encode_columns(df, chunk_rows=512).cache()
+
+    def plan_of(d):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            d.explain(True)
+        return buf.getvalue()
+
+    try:
+        sel = pipeline.scan_table(
+            blobs, "l_orderkey", lo=100, hi=400, columns=["l_quantity"]
+        )
+        # the selective path carries an explicit broadcast HINT —
+        # guaranteed broadcast regardless of size estimates
+        assert "ResolvedHint" in plan_of(sel)
+        fallback = pipeline.scan_table(
+            blobs,
+            "l_orderkey",
+            lo=100,
+            hi=400,
+            columns=["l_quantity"],
+            max_broadcast_groups=0,
+        )
+        # above the guard: NO forced hint (Catalyst/AQE may still pick
+        # broadcast at this tiny scale from its own size estimate —
+        # the point is the driver is never FORCED to collect the set)
+        assert "ResolvedHint" not in plan_of(fallback)
+        assert sorted(r[0] for r in sel.collect()) == sorted(
+            r[0] for r in fallback.collect()
+        )
+    finally:
+        blobs.unpersist()
+
+
+def test_manifest_first_dtype_no_probe_jobs(tmp_path, spark):
+    """A table opened via read_encoded resolves dtypes from the
+    manifest sibling: building decode/scan plans launches ZERO Spark
+    jobs (previously a limit(1).collect() probe per call)."""
+    df = load_table(spark, SF, "region")
+    pipeline.write_encoded(pipeline.encode_columns(df), str(tmp_path / "t"))
+    sc = spark.sparkContext
+    blobs = pipeline.read_encoded(spark, str(tmp_path / "t"))
+    sc.setJobGroup("probe_guard", "plan building must not run jobs")
+    try:
+        dec = pipeline.decode_column(blobs, "r_name")
+        tab = pipeline.decode_table(blobs)
+        eq = pipeline.scan_eq(
+            blobs, "r_regionkey", 1, max_broadcast_groups=None
+        )
+        jobs = sc.statusTracker().getJobIdsForGroup("probe_guard")
+        assert list(jobs) == [], f"plan building ran jobs: {jobs}"
+    finally:
+        sc.setJobGroup(None, None)
+    # the plans are also correct
+    assert dec.count() == df.count()
+    assert tab.count() == df.count()
+    assert eq.count() == 1
+
+
+def test_sha_format_marker(tmp_path, spark):
+    """write_encoded records the canonical-sha definition version in the
+    meta KV (reserved key, stripped from user metadata); tables without
+    the marker read as format 1 so verify can report 'old hash format'
+    instead of false corruption."""
+    df = load_table(spark, SF, "region")
+    pipeline.write_encoded(
+        pipeline.encode_columns(df), str(tmp_path / "t"), metadata={"k": "v"}
+    )
+    assert pipeline.read_metadata(spark, str(tmp_path / "t")) == {"k": "v"}
+    assert (
+        pipeline.read_sha_format(spark, str(tmp_path / "t"))
+        == pipeline.SHA_FORMAT_VERSION
+    )
+    # no meta table at all -> pre-marker table -> format 1
+    assert pipeline.read_sha_format(spark, str(tmp_path / "nope")) == 1
