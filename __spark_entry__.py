@@ -57,11 +57,14 @@ _ROUNDTRIPS: list[tuple[str, str, str, str]] = [
     # (query_name, table, column, codec)
     ("rt_auto_returnflag", "lineitem", "l_returnflag", "auto"),  # string/dict
     ("rt_auto_orderkey", "lineitem", "l_orderkey", "auto"),  # int64
-    ("rt_auto_quantity", "lineitem", "l_quantity", "auto"),  # float64
-    ("rt_auto_shipdate", "lineitem", "l_shipdate", "auto"),  # date
     ("rt_auto_partsize", "part", "p_size", "auto"),  # int32
     # (rt_auto_doctext folded: long-string auto selection is covered by
     # rt_fsst_doctext on the same column + codec_choices_lineitem)
+    # (rt_auto_quantity folded round 4: float64 auto = PLAIN path, covered
+    # by rt_plain_extendedprice + l_quantity inside rt_table_lineitem /
+    # rt_arrarr_qty; rt_auto_shipdate folded: timestamp auto covered by
+    # l_shipdate inside rt_table_lineitem + scan_eq temporal pytest —
+    # freed rows fund simhash/keep-canonical/nested-group coverage)
     ("rt_dict_returnflag", "lineitem", "l_returnflag", "DICT_RLE"),
     ("rt_dict_suppkey", "lineitem", "l_suppkey", "DICT_RLE"),  # int dict
     ("rt_for_orderkey", "lineitem", "l_orderkey", "FOR_BITPACK"),
@@ -210,6 +213,41 @@ def _q_rt_arrstruct_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("xs", 1).getField("n").alias("n0"),
         F.element_at("xs", 2).getField("q").alias("q1"),
         F.size("xs").cast("long").alias("sz"),
+        "l_orderkey",
+    )
+
+
+def _q_rt_arrstructstruct_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested repeated groups (array<struct> INSIDE array<struct> — the
+    reference's recursive repeated-group shred,
+    /root/reference/lib/shred.js:75-135, test/shred.js nested-repeated
+    cases): each repetition level shreds to one more list_ wrapper on
+    the parallel leaves + its own @edef element-validity chunk; decode
+    rebuilds level by level with arrays_zip/transform (pure JVM).
+    Projected back to scalars for the oracle."""
+    from pyspark.sql import functions as F
+
+    from parquetjs_spark import pipeline
+
+    df = _load(spark, sf_dir, "lineitem").select(
+        F.array(
+            F.struct(
+                F.col("l_linenumber").alias("n"),
+                F.array(
+                    F.struct(F.col("l_quantity").alias("q")),
+                    F.struct((F.col("l_quantity") * 2).alias("q")),
+                ).alias("spans"),
+            )
+        ).alias("xs"),
+        "l_orderkey",
+    )
+    out = pipeline.roundtrip_table(df)
+    first = F.element_at("xs", 1)
+    return out.select(
+        first.getField("n").alias("n0"),
+        F.element_at(first.getField("spans"), 1).getField("q").alias("q00"),
+        F.element_at(first.getField("spans"), 2).getField("q").alias("q01"),
+        F.size(first.getField("spans")).cast("long").alias("n_spans"),
         "l_orderkey",
     )
 
@@ -389,6 +427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["rt_table_events"] = _q_rt_table_events
     out["rt_struct_lineitem"] = _q_rt_struct_lineitem
     out["rt_arrstruct_lineitem"] = _q_rt_arrstruct_lineitem
+    out["rt_arrstructstruct_lineitem"] = _q_rt_arrstructstruct_lineitem
     out["scan_orderkey_range"] = _q_scan_orderkey_range
     out["scan_table_range"] = _q_scan_table_range
     out["rt_array_emb_elem0"] = _q_rt_array_emb_elem0
@@ -445,6 +484,10 @@ def oracle_sql() -> dict[str, str]:
     out["rt_arrstruct_lineitem"] = (
         "SELECT l_linenumber AS n0, l_quantity * 2 AS q1, "
         "CAST(2 AS BIGINT) AS sz, l_orderkey FROM lineitem"
+    )
+    out["rt_arrstructstruct_lineitem"] = (
+        "SELECT l_linenumber AS n0, l_quantity AS q00, l_quantity * 2 AS q01, "
+        "CAST(2 AS BIGINT) AS n_spans, l_orderkey FROM lineitem"
     )
     out["scan_orderkey_range"] = (
         "SELECT l_orderkey FROM lineitem WHERE l_orderkey BETWEEN 100 AND 5000"

@@ -58,7 +58,9 @@ def cmd_encode(args) -> int:
             file=sys.stderr,
         )
         return 2
-    if args.salt_key:
+    if args.cluster_by:
+        df = pipeline.clustered_repartition(df, args.cluster_by, args.partitions)
+    elif args.salt_key:
         df = pipeline.salted_repartition(
             df, args.salt_key, args.partitions or 200, args.salt_buckets
         )
@@ -173,6 +175,7 @@ def cmd_verify(args) -> int:
     from parquetjs_spark import pipeline
 
     spark = _spark(args)
+    blobs = pipeline.read_encoded(spark, args.input)  # fails on missing table
     fmt = pipeline.read_sha_format(spark, args.input)
     if fmt != pipeline.SHA_FORMAT_VERSION:
         # not corruption: the canonical sha definition changed since
@@ -185,7 +188,6 @@ def cmd_verify(args) -> int:
                     "definition; re-encode to verify bit-identity",
         }))
         return 3
-    blobs = pipeline.read_encoded(spark, args.input)
     report = pipeline.verify_blobs(blobs)
     bad = report.where(~F.col("ok")).count()
     total = report.count()
@@ -209,6 +211,12 @@ def main(argv: list[str] | None = None) -> int:
     pe.add_argument("--chunk-rows", type=int, default=4096)
     pe.add_argument("--partitions", type=int, default=None)
     pe.add_argument("--salt-key", default=None, help="skewed key column to salt on")
+    pe.add_argument(
+        "--cluster-by",
+        default=None,
+        help="range-sort on this column before encoding so zone maps / "
+        "blooms prune range scans (one extra shuffle at write time)",
+    )
     pe.add_argument("--salt-buckets", type=int, default=16)
     pe.add_argument("--resume-from", default=None, help="prior output path (manifest)")
     pe.add_argument(

@@ -161,21 +161,59 @@ def q_emb_ivf_topk_vec0(spark, sf_dir):
     return similarity.ivf_topk_for_id(_embs(spark, sf_dir), query_id=0, k=5)
 
 
-def q_emb_near_dup_topk_candidates(spark, sf_dir):
+def q_simhash_near_dup_seeded(spark, sf_dir):
+    """Seeded exact dups must all surface at Hamming 0: every (i, i+10M)
+    pair must land in the same connected component of the simhash pair
+    graph.  The pair SET itself is star-reduced within identical-
+    fingerprint groups (simhash_near_dup_pairs docstring) and simhash
+    collisions between unrelated short docs can re-root a star, so the
+    SQL-stable invariant is CLUSTER connectivity, not the literal pair
+    list: emit the seeded pairs whose endpoints share a cluster — all
+    50 iff recall holds.  (Demo machinery dropped:
+    emb_near_dup_topk_candidates' bucket-join is the same plan shape as
+    emb_near_dup_pairs'.)"""
     from pyspark.sql import functions as F
 
-    from . import similarity
+    from . import dedup
 
-    # DEMO query: the synthetic embeddings contain no true near-dups (max
-    # candidate cosine ~0.36 at sf0.01), so exercise the full
-    # LSH-bucket-join + exact-rescore machinery via the top-scored
-    # candidate pairs (min_score_u=0).  These are NOT duplicates — the
-    # contract-true query is emb_near_dup_pairs below.
-    return (
-        similarity.embedding_near_dup_pairs(_embs(spark, sf_dir), min_score_u=0)
-        .orderBy(F.desc("score_u"), "vec_a", "vec_b")
-        .limit(25)
+    docs = _seeded_docs(spark, sf_dir)
+    pairs = dedup.simhash_near_dup_pairs(docs)
+    labels = dedup.dup_clusters(pairs.where(F.col("hamming") == 0))
+    seeded = docs.where(
+        (F.col("doc_id") % 10 == 0) & (F.col("doc_id") < 10_000_000)
+    ).select(
+        F.col("doc_id").alias("doc_a"),
+        (F.col("doc_id") + 10_000_000).alias("doc_b"),
     )
+    la = labels.select(
+        F.col("doc_id").alias("doc_a"), F.col("cluster_id").alias("ca")
+    )
+    lb = labels.select(
+        F.col("doc_id").alias("doc_b"), F.col("cluster_id").alias("cb")
+    )
+    return (
+        seeded.join(la, "doc_a")
+        .join(lb, "doc_b")
+        .where(F.col("ca") == F.col("cb"))
+        .select("doc_a", "doc_b")
+    )
+
+
+def q_dedup_keep_canonical_seeded(spark, sf_dir):
+    """End-of-pipeline dedup: drop every duplicate except its cluster's
+    minimum-id representative.  Pairs come from the SQL-reproducible
+    exact-text self-join, so the kept-id set has a window-MIN oracle."""
+    from pyspark.sql import functions as F
+
+    from . import dedup
+
+    docs = _seeded_docs(spark, sf_dir)
+    a = docs.select(F.col("doc_id").alias("doc_a"), "text")
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("t2"))
+    pairs = a.join(b, (a.text == b.t2) & (a.doc_a < b.doc_b)).select(
+        "doc_a", "doc_b"
+    )
+    return dedup.dedup_keep_canonical(docs, pairs).select("doc_id")
 
 
 def q_emb_near_dup_pairs(spark, sf_dir):
@@ -277,7 +315,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_topk_vec0": q_emb_topk_vec0,
         "emb_lsh_topk_vec0": q_emb_lsh_topk_vec0,
         "emb_ivf_topk_vec0": q_emb_ivf_topk_vec0,
-        "emb_near_dup_topk_candidates": q_emb_near_dup_topk_candidates,
+        "simhash_near_dup_seeded": q_simhash_near_dup_seeded,
+        "dedup_keep_canonical_seeded": q_dedup_keep_canonical_seeded,
         "emb_near_dup_pairs": q_emb_near_dup_pairs,
         "media_metadata": q_media_metadata,
         "media_resize": q_media_resize,
@@ -342,11 +381,61 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS cluster_id "
             "FROM s WHERE text IN (SELECT text FROM d)"
         ),
-        # emb topk / near-dup: float-order sensitive -> rows-only
+        # brute-force cosine top-k: DuckDB's list_cosine_similarity on
+        # DOUBLE[] reproduces the float64 matmul exactly; the operator's
+        # integer-scaled score_u exists precisely for this hash-exact
+        # comparison (lsh/ivf topk stay rows-only: their candidate sets
+        # come from custom bucketing)
+        "emb_topk_vec0": (
+            "WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv "
+            "FROM embeddings WHERE vec_id = 0) "
+            "SELECT vec_id, CAST(ROUND(list_cosine_similarity("
+            "CAST(embedding AS DOUBLE[]), (SELECT qv FROM q)) * 1000000) "
+            "AS BIGINT) AS score_u FROM embeddings WHERE vec_id != 0 "
+            "ORDER BY score_u DESC, vec_id ASC LIMIT 10"
+        ),
+        # production-cutoff near-dups: the oracle is the EXACT all-pairs
+        # ground truth (feasible at oracle scale), so the expected-empty
+        # result is confirmed empty rather than assumed
+        "emb_near_dup_pairs": (
+            "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
+            "CAST(ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])) * 1000000) AS BIGINT) AS score_u "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])) * 1000000) >= 950000"
+        ),
+        "simhash_near_dup_seeded": (
+            "SELECT doc_id AS doc_a, doc_id + 10000000 AS doc_b "
+            "FROM documents WHERE doc_id % 10 = 0"
+        ),
+        "dedup_keep_canonical_seeded": (
+            f"SELECT doc_id FROM {_SEEDED_ORACLE_SRC} t "
+            "QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY text)"
+        ),
         "media_metadata": (
             "SELECT doc_id, 'image/fake' AS media_type, "
             "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
             "substr(sha256(text), 1, 16) AS sha_prefix FROM documents"
+        ),
+        # the resize/frame kernels are deterministic byte ops over ASCII
+        # text payloads, so DuckDB string math reproduces them byte-exact
+        # (every sf doc is far below the 64x64 target, so the oracle
+        # takes the pad branch; the strided-subsample branch is pinned
+        # against a NumPy reference in tests/test_functions.py)
+        "media_resize": (
+            "SELECT doc_id, md5(rpad(text, 4096, chr(0))) AS pixels_md5, "
+            "CAST(64 AS INTEGER) AS width, CAST(64 AS INTEGER) AS height "
+            "FROM documents"
+        ),
+        "media_frame_sample": (
+            "WITH f AS (SELECT doc_id, text, "
+            "GREATEST(1, CAST(strlen(text) // 4 AS INT)) AS step "
+            "FROM documents) "
+            "SELECT doc_id, CAST(i AS INTEGER) AS frame_idx, "
+            "md5(rpad(substr(text, i * step + 1, 256), 256, chr(0))) "
+            "AS frame_md5 "
+            "FROM f, (SELECT unnest(generate_series(0, 3)) AS i) g"
         ),
         # media_features: deterministic fake encoder -> rows-only
     }

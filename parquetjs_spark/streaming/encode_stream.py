@@ -42,6 +42,15 @@ def encode_stream(
         blobs.select(*pipeline.MANIFEST_COLUMNS).write.mode("append").parquet(
             f"{output_path}/manifest"
         )
+        # sha-format marker, same as write_encoded: without it a
+        # streamed table would read as "old hash format" to verify.
+        # Overwritten every batch (one tiny file) so a checkpoint
+        # restart that skips batch 0 still lands it.
+        spark = batch_df.sparkSession
+        spark.createDataFrame(
+            [(pipeline._SHA_FORMAT_KEY, str(pipeline.SHA_FORMAT_VERSION))],
+            "key string, value string",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{output_path}/meta")
 
     writer = (
         stream_df.writeStream.foreachBatch(process_batch)

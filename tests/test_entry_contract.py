@@ -40,6 +40,8 @@ def test_never_verified_ops_lead_the_window():
         "emb_topk_vec0",
         "emb_lsh_topk_vec0",
         "emb_ivf_topk_vec0",
+        "simhash_near_dup_seeded",
+        "dedup_keep_canonical_seeded",
         "emb_near_dup_pairs",
         "media_metadata",
         "media_resize",
@@ -47,6 +49,7 @@ def test_never_verified_ops_lead_the_window():
         "media_features",
         "rt_flba_digest",
         "rt_decimal_price",
+        "rt_arrstructstruct_lineitem",
     ]
     for q in must_run:
         assert q in names, f"missing query {q}"

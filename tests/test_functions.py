@@ -337,3 +337,32 @@ def test_no_persisted_rdds_after_library_calls(spark):
     assert persisted_ids() - base == set()
     similarity.lsh_topk_for_id(embs, query_id=0, k=5).count()
     assert persisted_ids() - base == set()
+
+
+def test_media_resize_subsample_branch_matches_numpy(spark):
+    """Payloads LONGER than the resize target take the strided-subsample
+    branch (the DuckDB oracle only sees the pad branch — sf texts are
+    all shorter than 64x64); pin the subsample against the NumPy
+    reference the kernel documents."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from parquetjs_spark.functions import multimodal
+
+    docs = spark.createDataFrame(
+        [(1, "abcdefgh" * 40), (2, "x" * 17)], "doc_id long, text string"
+    )
+    media = multimodal.as_media_table(docs)
+    out = {
+        r["doc_id"]: bytes(r["payload"])
+        for r in multimodal.resize_images(media, width=4, height=4).collect()
+    }
+    for doc_id, text in ((1, "abcdefgh" * 40), (2, "x" * 17)):
+        b = text.encode()
+        target = 16
+        stride = len(b) // target
+        want = (
+            np.frombuffer(b, dtype=np.uint8)[: stride * target][::stride][:target]
+            .tobytes()
+        )
+        assert out[doc_id] == want, doc_id

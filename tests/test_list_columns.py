@@ -225,3 +225,68 @@ def test_array_inside_arrstruct_spark(spark):
         for r in df.collect()
     )
     assert got == want
+
+
+def test_arrstruct_inside_arrstruct_spark(spark):
+    """array<struct> INSIDE array<struct> — the reference's recursive
+    repeated-group shred (lib/shred.js:75-135, test/shred.js
+    nested-repeated).  Nulls at every level: null outer array, empty
+    outer array, null element struct, null inner array, empty inner
+    array, null inner element, null inner field."""
+    from parquetjs_spark import pipeline
+
+    rows = [
+        (1, [
+            {"a": 10, "spans": [{"s": 1, "e": 2}, {"s": 3, "e": None}], "tag": "x"},
+            {"a": None, "spans": [], "tag": "y"},
+            None,
+            {"a": 30, "spans": None, "tag": None},
+        ]),
+        (2, None),
+        (3, []),
+        (4, [{"a": 7, "spans": [{"s": 9, "e": 9}, None], "tag": "z"}]),
+    ]
+    schema = (
+        "id long, ann array<struct<a: long, "
+        "spans: array<struct<s: long, e: long>>, tag: string>>"
+    )
+    df = spark.createDataFrame(rows, schema)
+    out = pipeline.decode_table(pipeline.encode_columns(df, chunk_rows=2))
+    assert out.schema.simpleString() == df.schema.simpleString()
+    got = sorted(
+        (r.asDict(recursive=True) for r in out.collect()),
+        key=lambda r: r["id"],
+    )
+    want = sorted(
+        (r.asDict(recursive=True) for r in df.collect()),
+        key=lambda r: r["id"],
+    )
+    assert got == want
+
+
+def test_arrstruct_three_levels_spark(spark):
+    """Three repetition levels (group in group in group) plus a plain
+    struct wrapper — depth recursion with no special-case ceiling."""
+    from parquetjs_spark import pipeline
+
+    rows = [
+        (1, [{"k": 1, "mid": [{"m": 2, "leaf": [{"v": "a"}, None]}, None]}]),
+        (2, []),
+        (3, [{"k": 5, "mid": []}, {"k": 6, "mid": None}]),
+    ]
+    schema = (
+        "id long, x array<struct<k: long, mid: array<struct<m: long, "
+        "leaf: array<struct<v: string>>>>>>"
+    )
+    df = spark.createDataFrame(rows, schema)
+    out = pipeline.decode_table(pipeline.encode_columns(df, chunk_rows=1))
+    assert out.schema.simpleString() == df.schema.simpleString()
+    got = sorted(
+        (r.asDict(recursive=True) for r in out.collect()),
+        key=lambda r: r["id"],
+    )
+    want = sorted(
+        (r.asDict(recursive=True) for r in df.collect()),
+        key=lambda r: r["id"],
+    )
+    assert got == want

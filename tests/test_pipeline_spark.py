@@ -254,15 +254,21 @@ def test_nested_repeated_roundtrip(spark):
     assert got == [(1, ((1, 2), ())), (2, ()), (3, ((3,),))]
 
 
-def test_arrstruct_inside_arrstruct_rejected(spark):
+def test_arrstruct_inside_arrstruct_roundtrips(spark):
+    """Round 4: the last nesting rejection is gone — array<struct>
+    inside array<struct> shreds recursively (full matrix in
+    tests/test_list_columns.py)."""
     from pyspark.sql import Row
 
     df = spark.createDataFrame(
         [Row(id=1, xs=[Row(ys=[Row(a=1)])])],
         "id long, xs array<struct<ys: array<struct<a: long>>>>",
     )
-    with pytest.raises(Exception, match="array<struct> inside"):
-        pipeline.encode_columns(df).collect()
+    out = pipeline.roundtrip_table(df)
+    assert out.schema.simpleString() == df.schema.simpleString()
+    assert [r.asDict(recursive=True) for r in out.collect()] == [
+        r.asDict(recursive=True) for r in df.collect()
+    ]
 
 
 def test_decimal_roundtrip(spark):
@@ -730,3 +736,54 @@ def test_sha_format_marker(tmp_path, spark):
     )
     # no meta table at all -> pre-marker table -> format 1
     assert pipeline.read_sha_format(spark, str(tmp_path / "nope")) == 1
+
+
+def test_clustered_layout_prunes_harder(spark):
+    """clustered_repartition(key) range-sorts before encoding, so chunk
+    zone maps cover narrow key ranges and a range scan decodes far fewer
+    chunks than the same scan over random-arrival layout — with
+    identical results."""
+    from pyspark.sql import types as T
+
+    base = (
+        load_table(spark, SF, "lineitem")
+        .select("l_orderkey")
+        .repartition(8)  # destroy arrival order: the realistic worst case
+    )
+    lo, hi = 100, 200
+    blobs_un = pipeline.encode_columns(base, chunk_rows=256).cache()
+    blobs_cl = pipeline.encode_columns(
+        pipeline.clustered_repartition(base, "l_orderkey", 8), chunk_rows=256
+    ).cache()
+
+    def kept_chunks(blobs):
+        rows = pipeline._ensure_stat_cols(blobs).where(
+            F.col("column") == "l_orderkey"
+        )
+        return pipeline._zonemap_filter(
+            rows, T.LongType(), lo=lo, hi=hi
+        ).count()
+
+    try:
+        total = blobs_un.where(F.col("column") == "l_orderkey").count()
+        k_un, k_cl = kept_chunks(blobs_un), kept_chunks(blobs_cl)
+        # unclustered chunks span ~the full key range: nothing prunes;
+        # clustered chunks are narrow: only the overlapping few survive
+        assert k_cl * 4 <= k_un, (k_cl, k_un, total)
+        got_cl = sorted(
+            r[0]
+            for r in pipeline.scan_column(
+                blobs_cl, "l_orderkey", lo=lo, hi=hi
+            ).collect()
+        )
+        got_un = sorted(
+            r[0]
+            for r in pipeline.scan_column(
+                blobs_un, "l_orderkey", lo=lo, hi=hi
+            ).collect()
+        )
+        assert got_cl == got_un and len(got_cl) > 0
+        print(f"pruning: unclustered kept {k_un}/{total}, clustered kept {k_cl}/{total}")
+    finally:
+        blobs_un.unpersist()
+        blobs_cl.unpersist()
