@@ -94,9 +94,23 @@ def q_exact_dup_groups_seeded(spark, sf_dir):
 
 
 def q_minhash_dedup_pairs_seeded(spark, sf_dir):
+    """MinHash+LSH pipeline recall on the seeded exact dups: identical
+    texts have identical signatures, collide in every band, and agree on
+    all 64 hashes — so the (i, i+10M) slice of the pair output is
+    SQL-predictable (agree == 64) even though the hashing itself is not
+    SQL.  Near-dup pairs (data-dependent agree) stay covered by the full
+    operator pytests.  doc_a must be an ORIGINAL id (< 10M): for
+    i = 10 mod 70 the exact-dup (i+10M) and near-dup (i+20M) ALSO
+    differ by exactly 10M, so the diff filter alone over-admits."""
+    from pyspark.sql import functions as F
+
     from . import dedup
 
-    return dedup.minhash_dedup_pairs(_seeded_docs(spark, sf_dir))
+    pairs = dedup.minhash_dedup_pairs(_seeded_docs(spark, sf_dir))
+    return pairs.where(
+        (F.col("doc_a") < 10_000_000)
+        & (F.col("doc_b") - F.col("doc_a") == 10_000_000)
+    ).select("doc_a", "doc_b", "agree")
 
 
 def q_dup_clusters_seeded(spark, sf_dir):
@@ -362,7 +376,11 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT text, COUNT(*) AS dup_count FROM {_SEEDED_ORACLE_SRC} "
             "GROUP BY text HAVING COUNT(*) > 1"
         ),
-        # minhash_dedup_pairs_seeded: custom stable hashing -> rows-only
+        "minhash_dedup_pairs_seeded": (
+            "SELECT doc_id AS doc_a, doc_id + 10000000 AS doc_b, "
+            "CAST(64 AS INTEGER) AS agree "
+            "FROM documents WHERE doc_id % 10 = 0"
+        ),
         "distinct_doc_count": (
             "SELECT COUNT(DISTINCT text) AS distinct_docs FROM documents"
         ),
@@ -437,5 +455,23 @@ def oracle_sql() -> dict[str, str]:
             "AS frame_md5 "
             "FROM f, (SELECT unnest(generate_series(0, 3)) AS i) g"
         ),
-        # media_features: deterministic fake encoder -> rows-only
+        # media_features' fake encoder seeds the vector from
+        # sha256(payload): f0 = float32(le_u32(digest[0:4])) / 2^32 —
+        # DuckDB reproduces the float32 arithmetic bit-exact from its
+        # own sha256 hex output
+        "media_features": (
+            "WITH t AS (SELECT doc_id, sha256(text) AS h FROM documents), "
+            "b AS (SELECT doc_id, "
+            "(strpos('0123456789abcdef', substr(h,1,1))-1)*16 + "
+            "(strpos('0123456789abcdef', substr(h,2,1))-1) AS b0, "
+            "(strpos('0123456789abcdef', substr(h,3,1))-1)*16 + "
+            "(strpos('0123456789abcdef', substr(h,4,1))-1) AS b1, "
+            "(strpos('0123456789abcdef', substr(h,5,1))-1)*16 + "
+            "(strpos('0123456789abcdef', substr(h,6,1))-1) AS b2, "
+            "(strpos('0123456789abcdef', substr(h,7,1))-1)*16 + "
+            "(strpos('0123456789abcdef', substr(h,8,1))-1) AS b3 FROM t) "
+            "SELECT doc_id, CAST(CAST(b0 + 256*b1 + 65536*b2 + "
+            "16777216*b3 AS FLOAT) / CAST(4294967296 AS FLOAT) AS DOUBLE) "
+            "AS f0, CAST(8 AS INTEGER) AS n_feat FROM b"
+        ),
     }
