@@ -169,6 +169,59 @@ def cmd_scan(args) -> int:
     return 0
 
 
+def _typed_literal(dtype: str, raw: str):
+    """CLI string literal -> typed value for the scan predicates;
+    date/timestamp ISO strings pass through (scan normalizes them)."""
+    if dtype in ("int64", "int32"):
+        return int(raw)
+    if dtype in ("float64", "float32"):
+        return float(raw)
+    return raw
+
+
+def cmd_where(args) -> int:
+    """Compound-predicate scan: --range COL:LO:HI (repeatable, empty
+    bound = open) + --eq COL=VALUE (repeatable) -> one pruned decode."""
+    from pyspark.sql import functions as F
+
+    from parquetjs_spark import pipeline
+
+    spark = _spark(args)
+    blobs = pipeline.read_encoded(spark, args.input)
+    dtypes = {
+        r["column"]: r["dtype"]
+        for r in pipeline.read_manifest(spark, args.input)
+        .select("column", "dtype")
+        .distinct()
+        .collect()
+    }
+
+    def dtype_of(col: str) -> str:
+        if col not in dtypes:
+            print(f"error: no chunks for column {col}", file=sys.stderr)
+            raise SystemExit(2)
+        return dtypes[col]
+
+    ranges = {}
+    for spec in args.range or []:
+        col, lo, hi = spec.split(":", 2)
+        dt = dtype_of(col)
+        ranges[col] = (
+            _typed_literal(dt, lo) if lo else None,
+            _typed_literal(dt, hi) if hi else None,
+        )
+    eqs = {}
+    for spec in args.eq or []:
+        col, raw = spec.split("=", 1)
+        eqs[col] = _typed_literal(dtype_of(col), raw)
+    cols = args.columns.split(",") if args.columns else None
+    out = pipeline.scan_table_where(blobs, ranges=ranges, eqs=eqs, columns=cols)
+    out.write.mode("overwrite").parquet(args.output)
+    print(json.dumps({"rows": spark.read.parquet(args.output).count(),
+                      "columns": out.columns}))
+    return 0
+
+
 def cmd_verify(args) -> int:
     from pyspark.sql import functions as F
 
@@ -256,6 +309,24 @@ def main(argv: list[str] | None = None) -> int:
     )
     ps.add_argument("--output", required=True)
     ps.set_defaults(fn=cmd_scan)
+
+    pw = sub.add_parser("where")
+    pw.add_argument("--input", required=True)
+    pw.add_argument(
+        "--range",
+        action="append",
+        metavar="COL:LO:HI",
+        help="range predicate (repeatable; empty LO/HI = open bound)",
+    )
+    pw.add_argument(
+        "--eq",
+        action="append",
+        metavar="COL=VALUE",
+        help="equality predicate (repeatable; bloom + zone-map pruned)",
+    )
+    pw.add_argument("--columns", default=None, help="projection (comma-sep)")
+    pw.add_argument("--output", required=True)
+    pw.set_defaults(fn=cmd_where)
 
     pv = sub.add_parser("verify")
     pv.add_argument("--input", required=True)

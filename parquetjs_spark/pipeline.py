@@ -972,6 +972,23 @@ def scan_column(
     return out
 
 
+def _meta_rows_for(blob_df: DataFrame) -> list:
+    """(column, col_idx, dtype) rows for decode_table, resolved from the
+    manifest cache when available, else one tiny distinct job on the
+    UNPRUNED table.  Scan paths pass this into decode_table so an
+    empty pruned result still decodes to an empty, correctly-typed
+    DataFrame instead of 'blob table has no chunks'."""
+    meta = _cached_meta(blob_df)
+    if meta is not None:
+        return [
+            {"column": c, "col_idx": ci, "dtype": dt}
+            for c, (ci, dt) in meta.items()
+        ]
+    if "col_idx" not in blob_df.columns:  # pre-col_idx blob table
+        blob_df = blob_df.withColumn("col_idx", F.lit(None).cast("int"))
+    return blob_df.select("column", "col_idx", "dtype").distinct().collect()
+
+
 def _keepset_join(
     blob_df: DataFrame, keep: DataFrame, max_broadcast_groups: int | None
 ) -> DataFrame:
@@ -1028,15 +1045,7 @@ def scan_table(
     want = columns
     if want is not None and predicate_column not in want:
         want = list(want) + [predicate_column]  # needed for the residual
-    meta = _cached_meta(blob_df)
-    meta_rows = (
-        [
-            {"column": c, "col_idx": ci, "dtype": dt}
-            for c, (ci, dt) in meta.items()
-        ]
-        if meta is not None
-        else None
-    )
+    meta_rows = _meta_rows_for(blob_df)
     out = decode_table(pruned, want, meta_rows=meta_rows)
     vcol = F.col(f"`{predicate_column}`")
     if lo is not None:
@@ -1046,6 +1055,72 @@ def scan_table(
     if want is not columns and columns is not None:
         out = out.select(*[F.col(f"`{c}`") for c in columns])
     return out
+
+
+def _normalize_eq_literal(dtype: str, value):
+    """Normalize date/timestamp equality literals BOTH ways: the Spark
+    predicate needs a typed literal (Spark forbids INT -> DATE/TIMESTAMP
+    casts) while the bloom probe needs the logical int the encoder
+    hashed (days / micros).  Accepts native objects, ISO strings, or the
+    raw logical ints; tz-aware datetimes (incl. ISO strings with an
+    offset) normalize to UTC wall-clock so the probe hashes the SAME
+    micros the residual predicate compares.  Returns (value, probe_val)."""
+    import datetime as _dt
+
+    probe_val = value
+    if dtype == "date":
+        if isinstance(value, str):
+            value = _dt.date.fromisoformat(value)
+        if isinstance(value, _dt.datetime):
+            value = value.date()
+        if isinstance(value, _dt.date):
+            probe_val = (value - _dt.date(1970, 1, 1)).days
+        else:
+            probe_val = int(value)
+            value = _dt.date(1970, 1, 1) + _dt.timedelta(days=probe_val)
+    elif dtype == "timestamp_us":
+        if isinstance(value, str):
+            value = _dt.datetime.fromisoformat(value)
+        if isinstance(value, _dt.datetime):
+            if value.tzinfo is not None:
+                value = value.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            probe_val = (
+                value - _dt.datetime(1970, 1, 1)
+            ) // _dt.timedelta(microseconds=1)
+        else:
+            probe_val = int(value)
+            value = _dt.datetime(1970, 1, 1) + _dt.timedelta(
+                microseconds=probe_val
+            )
+    return value, probe_val
+
+
+def _bloom_probe_filter(pred_rows: DataFrame, dtype: str, probe_val) -> DataFrame:
+    """Keep chunks whose bloom COULD contain probe_val: every probed bit
+    must be set (null bloom conservatively kept).  Probing hashes the
+    LOGICAL value exactly as the encoder did; bit positions derive from
+    each chunk's own filter size (h & (64*len(bloom) - 1)) so
+    different-sized blooms mix freely.  Pure-JVM metadata filter —
+    element_at + bitwiseAND — before any blob bytes move."""
+    from .codecs import bloom as bloomlib
+
+    if dtype not in bloomlib.BLOOMABLE or not isinstance(
+        probe_val, (int, str, bytes)
+    ):
+        return pred_rows
+    for hj in bloomlib.probe_hashes(probe_val, dtype):
+        # SQL expr because pyspark's shiftleft() rejects a Column
+        # shift amount; hj is a driver-computed literal
+        pos = f"({hj}L & (size(bloom) * 64 - 1))"
+        pred_rows = pred_rows.where(
+            F.expr(
+                "bloom IS NULL OR ("
+                f"element_at(bloom, int(shiftright({pos}, 6)) + 1) "
+                f"& shiftleft(1L, int({pos} & 63))"
+                ") != 0"
+            )
+        )
+    return pred_rows
 
 
 def scan_eq(
@@ -1073,88 +1148,96 @@ def scan_eq(
     reassemble whole row groups (scan_table-style broadcast semi-join).
     Chunks without a bloom (old tables, unbloomable dtypes) stay
     conservatively unpruned."""
-    import datetime as _dt
-
-    from .codecs import bloom as bloomlib
-
     blob_df = _ensure_stat_cols(blob_df, bloom=True)
     pred_rows = blob_df.where(F.col("column") == column)
     dtype = _resolve_dtype(pred_rows, column, dtype, meta_src=blob_df)
     styp = spark_type_of(dtype)
-    # normalize date/timestamp literals BOTH ways: the Spark predicate
-    # needs a typed literal (Spark forbids INT -> DATE/TIMESTAMP casts)
-    # while the bloom probe needs the logical int the encoder hashed
-    # (days / micros); accept native objects, ISO strings, or the ints
-    probe_val = value
-    if dtype == "date":
-        if isinstance(value, str):
-            value = _dt.date.fromisoformat(value)
-        if isinstance(value, _dt.datetime):
-            value = value.date()
-        if isinstance(value, _dt.date):
-            probe_val = (value - _dt.date(1970, 1, 1)).days
-        else:
-            probe_val = int(value)
-            value = _dt.date(1970, 1, 1) + _dt.timedelta(days=probe_val)
-    elif dtype == "timestamp_us":
-        if isinstance(value, str):
-            value = _dt.datetime.fromisoformat(value)
-        if isinstance(value, _dt.datetime):
-            # tz-aware probes (incl. ISO strings with an offset) must
-            # hash the SAME micros the residual predicate compares:
-            # normalize to UTC wall-clock once, then treat as naive.
-            # (.replace(tzinfo=None) alone would keep the literal's own
-            # wall-clock while F.lit() converts via session tz — the
-            # bloom would falsely prune chunks holding matching rows.)
-            if value.tzinfo is not None:
-                value = value.astimezone(_dt.timezone.utc).replace(tzinfo=None)
-            probe_val = (
-                value - _dt.datetime(1970, 1, 1)
-            ) // _dt.timedelta(microseconds=1)
-        else:
-            probe_val = int(value)
-            value = _dt.datetime(1970, 1, 1) + _dt.timedelta(
-                microseconds=probe_val
-            )
+    value, probe_val = _normalize_eq_literal(dtype, value)
     vlit = F.lit(value).cast(styp)
     # zone maps: min <= value <= max (null stats conservatively kept)
     pred_rows = _zonemap_filter(pred_rows, styp, lo=value, hi=value)
-    # bloom probes: every probed bit must be set (null bloom kept).
-    # Probing hashes the LOGICAL value exactly as the encoder did.
-    # Bit positions derive from each chunk's own filter size
-    # (h & (64*len(bloom) - 1)) so different-sized blooms mix freely.
-    if dtype in bloomlib.BLOOMABLE and isinstance(probe_val, (int, str, bytes)):
-        for hj in bloomlib.probe_hashes(probe_val, dtype):
-            # SQL expr because pyspark's shiftleft() rejects a Column
-            # shift amount; hj is a driver-computed literal
-            pos = f"({hj}L & (size(bloom) * 64 - 1))"
-            pred_rows = pred_rows.where(
-                F.expr(
-                    "bloom IS NULL OR ("
-                    f"element_at(bloom, int(shiftright({pos}, 6)) + 1) "
-                    f"& shiftleft(1L, int({pos} & 63))"
-                    ") != 0"
-                )
-            )
+    pred_rows = _bloom_probe_filter(pred_rows, dtype, probe_val)
     if columns is None:
         out = decode_column(pred_rows, column, dtype=dtype)
         return out.where(F.col(f"`{column}`") == vlit)
     keep = pred_rows.select("part_id", "chunk_seq").distinct()
     want = list(columns) if column in columns else list(columns) + [column]
     pruned = _keepset_join(blob_df, keep, max_broadcast_groups)
-    meta = _cached_meta(blob_df)
-    meta_rows = (
-        [
-            {"column": c, "col_idx": ci, "dtype": dt}
-            for c, (ci, dt) in meta.items()
-        ]
-        if meta is not None
-        else None
-    )
+    meta_rows = _meta_rows_for(blob_df)
     out = decode_table(pruned, want, meta_rows=meta_rows).where(
         F.col(f"`{column}`") == vlit
     )
     return out.select(*[F.col(f"`{c}`") for c in columns])
+
+
+def scan_table_where(
+    blob_df: DataFrame,
+    ranges: dict[str, tuple] | None = None,
+    eqs: dict | None = None,
+    columns: list[str] | None = None,
+    max_broadcast_groups: int | None = 2_000_000,
+) -> DataFrame:
+    """Compound-predicate pruned scan — the ``WHERE a BETWEEN x AND y
+    AND b = v AND ...`` shape a real user writes, pruned ONCE across all
+    predicates instead of per-scan.
+
+    ``ranges`` maps column -> (lo, hi) (either bound may be None);
+    ``eqs`` maps column -> value (zone maps + blooms).  The keep-set is
+    the INTERSECTION of each predicate's kept row groups — successive
+    metadata-only semi-joins, manifest-sized, evaluated before any blob
+    bytes move — then the surviving groups are decoded once and every
+    residual predicate is applied exactly.  Conjunction prunes
+    multiplicatively: at 100 TB a date range keeping 2% of groups and a
+    key bloom keeping 0.1% leaves ~0.002% of chunks to decode, which
+    neither scan_table nor scan_eq alone can reach."""
+    ranges = dict(ranges or {})
+    eqs = dict(eqs or {})
+    if not ranges and not eqs:
+        raise ValueError("scan_table_where needs at least one predicate")
+    overlap = set(ranges) & set(eqs)
+    if overlap:
+        raise ValueError(f"column in both ranges and eqs: {sorted(overlap)}")
+    blob_df = _ensure_stat_cols(blob_df, bloom=True)
+    residuals = []  # (column, Column predicate)
+    keep = None
+    for col, (lo, hi) in ranges.items():
+        rows = blob_df.where(F.col("column") == col)
+        dtype = _resolve_dtype(rows, col, None, meta_src=blob_df)
+        styp = spark_type_of(dtype)
+        rows = _zonemap_filter(rows, styp, lo, hi)
+        ks = rows.select("part_id", "chunk_seq").distinct()
+        keep = ks if keep is None else keep.join(
+            ks, on=["part_id", "chunk_seq"], how="left_semi"
+        )
+        vcol = F.col(f"`{col}`")
+        if lo is not None:
+            residuals.append((col, vcol >= F.lit(lo).cast(styp)))
+        if hi is not None:
+            residuals.append((col, vcol <= F.lit(hi).cast(styp)))
+    for col, value in eqs.items():
+        rows = blob_df.where(F.col("column") == col)
+        dtype = _resolve_dtype(rows, col, None, meta_src=blob_df)
+        styp = spark_type_of(dtype)
+        value, probe_val = _normalize_eq_literal(dtype, value)
+        rows = _zonemap_filter(rows, styp, lo=value, hi=value)
+        rows = _bloom_probe_filter(rows, dtype, probe_val)
+        ks = rows.select("part_id", "chunk_seq").distinct()
+        keep = ks if keep is None else keep.join(
+            ks, on=["part_id", "chunk_seq"], how="left_semi"
+        )
+        residuals.append((col, F.col(f"`{col}`") == F.lit(value).cast(styp)))
+    pruned = _keepset_join(blob_df, keep, max_broadcast_groups)
+    pred_cols = list(dict.fromkeys(c for c, _ in residuals))
+    want = columns
+    if want is not None:
+        want = list(want) + [c for c in pred_cols if c not in want]
+    meta_rows = _meta_rows_for(blob_df)
+    out = decode_table(pruned, want, meta_rows=meta_rows)
+    for _, pred in residuals:
+        out = out.where(pred)
+    if columns is not None and want is not columns:
+        out = out.select(*[F.col(f"`{c}`") for c in columns])
+    return out
 
 
 VERIFY_SCHEMA = T.StructType(
@@ -1293,7 +1376,9 @@ def write_encoded(
     mdf = spark.createDataFrame(
         list(kv.items()), "key string, value string"
     )
-    mdf.coalesce(1).write.mode(mode).parquet(f"{path}/meta")
+    # always overwrite: a resume (mode="append") must not stack
+    # duplicate marker/user rows — KV semantics are last-write-wins
+    mdf.coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 
 def read_metadata(spark: SparkSession, path: str) -> dict[str, str]:

@@ -787,3 +787,60 @@ def test_clustered_layout_prunes_harder(spark):
     finally:
         blobs_un.unpersist()
         blobs_cl.unpersist()
+
+
+def test_scan_table_where_compound_predicates(spark):
+    """Compound WHERE (range AND equality on different columns) prunes
+    once across all predicates and matches a plain DataFrame filter —
+    including a date-range + string-eq mix and the no-match case."""
+    df = load_table(spark, SF, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity", "l_shipdate"
+    )
+    blobs = pipeline.encode_columns(df, chunk_rows=512).cache()
+    try:
+        got = pipeline.scan_table_where(
+            blobs,
+            ranges={"l_orderkey": (100, 2000), "l_quantity": (None, 20.0)},
+            eqs={"l_returnflag": "A"},
+            columns=["l_orderkey", "l_quantity"],
+        )
+        want = (
+            df.where(
+                (F.col("l_orderkey").between(100, 2000))
+                & (F.col("l_quantity") <= 20.0)
+                & (F.col("l_returnflag") == "A")
+            )
+            .select("l_orderkey", "l_quantity")
+        )
+        assert got.columns == ["l_orderkey", "l_quantity"]
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+        assert want.count() > 0
+        # temporal eq predicate composes through the same normalization
+        ts = df.select("l_shipdate").head()[0]
+        got_ts = pipeline.scan_table_where(
+            blobs,
+            ranges={"l_orderkey": (None, 100000)},
+            eqs={"l_shipdate": ts.isoformat()},
+        ).count()
+        assert got_ts == df.where(F.col("l_shipdate") == F.lit(ts)).count() > 0
+        # contradiction prunes to empty without error
+        assert (
+            pipeline.scan_table_where(
+                blobs, ranges={"l_orderkey": (1, 2)}, eqs={"l_orderkey_absent": 1}
+                if False
+                else {"l_returnflag": "Z"},
+            ).count()
+            == 0
+        )
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="at least one predicate"):
+            pipeline.scan_table_where(blobs)
+        with _pytest.raises(ValueError, match="both ranges and eqs"):
+            pipeline.scan_table_where(
+                blobs, ranges={"l_orderkey": (1, 2)}, eqs={"l_orderkey": 1}
+            )
+    finally:
+        blobs.unpersist()
