@@ -403,6 +403,61 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     return labels
 
 
+def remove_duplicate_paragraphs(
+    docs: DataFrame, min_len: int = 40, sep: str = "\n\n"
+) -> DataFrame:
+    """Cross-document duplicate-paragraph removal — the boilerplate
+    scrub every large-corpus pipeline runs (license headers, nav bars,
+    cookie banners repeated across millions of pages): split each doc
+    on ``sep``, keep only the corpus-FIRST occurrence of every
+    paragraph of at least ``min_len`` chars (first = lexicographic min
+    (doc_id, position) — deterministic, resume-stable), reassemble docs
+    in original paragraph order.  Short paragraphs always survive
+    (deduping "Introduction" everywhere would shred unrelated docs).
+
+    Scale shape: one shuffle keyed by paragraph text for the keeper
+    aggregation — ``min(struct(doc_id, pos))`` combines map-side, so a
+    paragraph repeated 10^9 times still reduces to one row before it
+    moves; the keeper join back is skew-prone on boilerplate keys and
+    left to AQE skew-split; one final shuffle by doc_id to reassemble.
+    Docs whose every paragraph was removed come back with text ''."""
+    import re
+
+    parts = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), re.escape(sep))).alias(
+            "pos", "part"
+        ),
+    )
+    longs = parts.where(F.length("part") >= min_len)
+    keepers = longs.groupBy("part").agg(
+        F.min(F.struct("doc_id", "pos")).alias("k")
+    )
+    kept_long = (
+        longs.join(keepers, "part")
+        .where(
+            (F.col("doc_id") == F.col("k.doc_id"))
+            & (F.col("pos") == F.col("k.pos"))
+        )
+        .select("doc_id", "pos", "part")
+    )
+    kept = parts.where(F.length("part") < min_len).unionByName(kept_long)
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "part"))),
+                lambda s: s["part"],
+            ),
+            sep,
+        ).alias("text")
+    )
+    return (
+        docs.select("doc_id")
+        .join(rebuilt, "doc_id", "left")
+        .select("doc_id", F.coalesce("text", F.lit("")).alias("text"))
+    )
+
+
 def dedup_keep_canonical(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     """Drop every duplicate except its cluster's canonical (minimum
     doc_id) representative — the final step of a dedup pipeline.  Docs

@@ -148,6 +148,39 @@ def q_simhash_fingerprints(spark, sf_dir):
     return dedup.simhash_fingerprints(_docs(spark, sf_dir))
 
 
+def q_dedup_paragraphs_seeded(spark, sf_dir):
+    """Cross-doc duplicate-paragraph removal on a seeded paragraph
+    corpus (the raw fixture has no newlines): each doc becomes three
+    paragraphs — its own text, its 50-block leader's text (shared by
+    the whole block, the boilerplate analogue), and a short unique
+    tail.  After the scrub, the shared paragraph survives only in the
+    block leader (where it is ALSO the leader's first paragraph, so the
+    leader keeps one copy and drops its own duplicate), and short tails
+    survive everywhere.  Pure-SQL construction -> exact DuckDB oracle."""
+    from pyspark.sql import functions as F
+
+    from . import dedup
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    blocks = docs.select(
+        F.col("doc_id").alias("bid"), F.col("text").alias("btext")
+    )
+    seeded = (
+        docs.withColumn("bid", F.col("doc_id") - F.col("doc_id") % 50)
+        .join(blocks, "bid")
+        .select(
+            "doc_id",
+            F.concat_ws(
+                "\n\n",
+                F.col("text"),
+                F.col("btext"),
+                F.concat(F.lit("tail "), F.col("doc_id").cast("string")),
+            ).alias("text"),
+        )
+    )
+    return dedup.remove_duplicate_paragraphs(seeded)
+
+
 def q_ngram_jaccard_pairs(spark, sf_dir):
     from . import dedup
 
@@ -322,8 +355,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # exact_dup_groups + minhash_dedup_pairs unseeded (vacuous/weaker
     # twins of the *_seeded rows), emb_dims + emb_label_counts (trivial
     # sanity queries over the raw table, not engine operators).
+    # simhash_fingerprints folded round 4 (raw-fingerprint determinism is
+    # exercised inside simhash_near_dup_seeded + pytest) to fund the
+    # oracle-green paragraph-dedup row within the 50-query window
     return {
-        "simhash_fingerprints": q_simhash_fingerprints,
+        "dedup_paragraphs_seeded": q_dedup_paragraphs_seeded,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "dup_clusters_seeded": q_dup_clusters_seeded,
         "emb_topk_vec0": q_emb_topk_vec0,
@@ -375,6 +411,28 @@ def oracle_sql() -> dict[str, str]:
         "exact_dup_groups_seeded": (
             f"SELECT text, COUNT(*) AS dup_count FROM {_SEEDED_ORACLE_SRC} "
             "GROUP BY text HAVING COUNT(*) > 1"
+        ),
+        "dedup_paragraphs_seeded": (
+            "WITH src AS (SELECT d.doc_id, d.text || chr(10) || chr(10) || "
+            "b.text || chr(10) || chr(10) || 'tail ' || d.doc_id AS text "
+            "FROM documents d JOIN documents b "
+            "ON b.doc_id = d.doc_id - d.doc_id % 50), "
+            "p AS (SELECT doc_id, "
+            "unnest(string_split(text, chr(10) || chr(10))) AS part, "
+            "unnest(range(1, len(string_split(text, chr(10) || chr(10))) + 1)) "
+            "AS pos FROM src), "
+            "k AS (SELECT part, min(doc_id) AS kd FROM p "
+            "WHERE length(part) >= 40 GROUP BY part), "
+            "k2 AS (SELECT p.part, k.kd, min(p.pos) AS kp FROM p "
+            "JOIN k ON p.part = k.part AND p.doc_id = k.kd "
+            "WHERE length(p.part) >= 40 GROUP BY p.part, k.kd), "
+            "kept AS (SELECT doc_id, pos, part FROM p WHERE length(part) < 40 "
+            "UNION ALL SELECT p.doc_id, p.pos, p.part FROM p JOIN k2 "
+            "ON p.part = k2.part AND p.doc_id = k2.kd AND p.pos = k2.kp) "
+            "SELECT s.doc_id, COALESCE(agg.text, '') AS text FROM src s "
+            "LEFT JOIN (SELECT doc_id, string_agg(part, chr(10) || chr(10) "
+            "ORDER BY pos) AS text FROM kept GROUP BY doc_id) agg "
+            "USING (doc_id)"
         ),
         "minhash_dedup_pairs_seeded": (
             "SELECT doc_id AS doc_a, doc_id + 10000000 AS doc_b, "

@@ -35,7 +35,7 @@ def test_never_verified_ops_lead_the_window():
     inside the recorded window — i.e. at the front."""
     names = list(entry.queries())
     must_run = [
-        "simhash_fingerprints",
+        "dedup_paragraphs_seeded",
         "ngram_jaccard_pairs",
         "emb_topk_vec0",
         "emb_lsh_topk_vec0",

@@ -366,3 +366,32 @@ def test_media_resize_subsample_branch_matches_numpy(spark):
             .tobytes()
         )
         assert out[doc_id] == want, doc_id
+
+
+def test_remove_duplicate_paragraphs(spark):
+    """Cross-doc boilerplate scrub: corpus-first occurrence wins, order
+    is preserved, short paragraphs always survive, a doc losing every
+    paragraph comes back empty (not dropped)."""
+    from parquetjs_spark.functions import dedup
+
+    BOILER = "this legal boilerplate paragraph is repeated on every page " * 2
+    UNIQ1 = "a genuinely unique long paragraph of real content number one x"
+    UNIQ2 = "another genuinely unique long paragraph of real content here y"
+    docs = spark.createDataFrame(
+        [
+            (1, "\n\n".join([UNIQ1, BOILER, "short"])),
+            (2, "\n\n".join([BOILER, UNIQ2])),
+            (3, BOILER),                       # loses everything
+            (4, "\n\n".join([BOILER, BOILER])),  # within-doc dup too
+            (5, "tiny"),                       # short-only doc untouched
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["text"] for r in
+           dedup.remove_duplicate_paragraphs(docs, min_len=40).collect()}
+    assert out[1] == "\n\n".join([UNIQ1, BOILER, "short"])  # first occurrence
+    assert out[2] == UNIQ2
+    assert out[3] == ""
+    assert out[4] == ""
+    assert out[5] == "tiny"
+    assert set(out) == {1, 2, 3, 4, 5}
