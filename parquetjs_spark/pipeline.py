@@ -864,6 +864,11 @@ def _manifest_meta(
         import pyarrow.dataset as pads
 
         ds = pads.dataset(f"{path}/manifest", format="parquet")
+        # driver-side read is the zero-job fast path, but a 100 TB
+        # table's manifest is ~25 M rows — above a size cap fall through
+        # to the distributed distinct instead of pulling it all here
+        if sum(f.count_rows() for f in ds.get_fragments()) > 2_000_000:
+            raise RuntimeError("manifest too large for driver-side read")
         names = [
             c for c in ("column", "col_idx", "dtype") if c in ds.schema.names
         ]

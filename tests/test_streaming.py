@@ -72,3 +72,40 @@ def test_stream_decode_follows_encode(tmp_path, spark):
     )
     q3.awaitTermination(120)
     assert spark.read.parquet(str(dec_dir)).count() == len(want)
+
+
+def test_dedup_stream_across_batches_and_restart(tmp_path, spark):
+    """Streaming exact dedup: later occurrences of a key — in the same
+    micro-batch or any later one, including after a checkpoint
+    restart — are dropped; the survivor set is the distinct keys."""
+    from parquetjs_spark.streaming import dedup_stream
+
+    src_dir = tmp_path / "in_d"
+    out_dir = tmp_path / "out_d"
+    ck_dir = tmp_path / "ck_dd"
+    schema = "doc_id long, text string"
+    batch1 = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "alpha"), (4, "gamma")], schema
+    )
+    batch1.write.mode("overwrite").parquet(str(src_dir))
+
+    def run():
+        stream = spark.readStream.schema(batch1.schema).parquet(str(src_dir))
+        q = dedup_stream(
+            stream, str(out_dir), str(ck_dir), key_cols=("text",),
+            trigger_once=True,
+        )
+        q.awaitTermination(120)
+
+    run()
+    got1 = sorted(r["text"] for r in spark.read.parquet(str(out_dir)).collect())
+    assert got1 == ["alpha", "beta", "gamma"]
+
+    # new file: two dups of already-seen keys + one new key; the
+    # restart resumes the seen-set from the checkpoint
+    spark.createDataFrame(
+        [(5, "beta"), (6, "delta"), (7, "alpha")], schema
+    ).write.mode("append").parquet(str(src_dir))
+    run()
+    got2 = sorted(r["text"] for r in spark.read.parquet(str(out_dir)).collect())
+    assert got2 == ["alpha", "beta", "delta", "gamma"]
