@@ -1157,21 +1157,29 @@ def scan_eq(
     pred_rows = blob_df.where(F.col("column") == column)
     dtype = _resolve_dtype(pred_rows, column, dtype, meta_src=blob_df)
     styp = spark_type_of(dtype)
-    value, probe_val = _normalize_eq_literal(dtype, value)
-    vlit = F.lit(value).cast(styp)
-    # zone maps: min <= value <= max (null stats conservatively kept)
-    pred_rows = _zonemap_filter(pred_rows, styp, lo=value, hi=value)
-    pred_rows = _bloom_probe_filter(pred_rows, dtype, probe_val)
+    if value is None:
+        # IS NULL lookup: the manifest's n_nulls stat prunes every
+        # all-present chunk before any blob moves (the null-count slice
+        # of Parquet's Statistics struct, realized)
+        pred_rows = pred_rows.where(
+            F.col("n_nulls").isNull() | (F.col("n_nulls") > 0)
+        )
+        residual = F.col(f"`{column}`").isNull()
+    else:
+        value, probe_val = _normalize_eq_literal(dtype, value)
+        vlit = F.lit(value).cast(styp)
+        # zone maps: min <= value <= max (null stats conservatively kept)
+        pred_rows = _zonemap_filter(pred_rows, styp, lo=value, hi=value)
+        pred_rows = _bloom_probe_filter(pred_rows, dtype, probe_val)
+        residual = F.col(f"`{column}`") == vlit
     if columns is None:
         out = decode_column(pred_rows, column, dtype=dtype)
-        return out.where(F.col(f"`{column}`") == vlit)
+        return out.where(residual)
     keep = pred_rows.select("part_id", "chunk_seq").distinct()
     want = list(columns) if column in columns else list(columns) + [column]
     pruned = _keepset_join(blob_df, keep, max_broadcast_groups)
     meta_rows = _meta_rows_for(blob_df)
-    out = decode_table(pruned, want, meta_rows=meta_rows).where(
-        F.col(f"`{column}`") == vlit
-    )
+    out = decode_table(pruned, want, meta_rows=meta_rows).where(residual)
     return out.select(*[F.col(f"`{c}`") for c in columns])
 
 
@@ -1223,14 +1231,23 @@ def scan_table_where(
         rows = blob_df.where(F.col("column") == col)
         dtype = _resolve_dtype(rows, col, None, meta_src=blob_df)
         styp = spark_type_of(dtype)
-        value, probe_val = _normalize_eq_literal(dtype, value)
-        rows = _zonemap_filter(rows, styp, lo=value, hi=value)
-        rows = _bloom_probe_filter(rows, dtype, probe_val)
+        if value is None:
+            # IS NULL predicate: n_nulls stat prunes all-present chunks
+            rows = rows.where(
+                F.col("n_nulls").isNull() | (F.col("n_nulls") > 0)
+            )
+            residuals.append((col, F.col(f"`{col}`").isNull()))
+        else:
+            value, probe_val = _normalize_eq_literal(dtype, value)
+            rows = _zonemap_filter(rows, styp, lo=value, hi=value)
+            rows = _bloom_probe_filter(rows, dtype, probe_val)
+            residuals.append(
+                (col, F.col(f"`{col}`") == F.lit(value).cast(styp))
+            )
         ks = rows.select("part_id", "chunk_seq").distinct()
         keep = ks if keep is None else keep.join(
             ks, on=["part_id", "chunk_seq"], how="left_semi"
         )
-        residuals.append((col, F.col(f"`{col}`") == F.lit(value).cast(styp)))
     pruned = _keepset_join(blob_df, keep, max_broadcast_groups)
     pred_cols = list(dict.fromkeys(c for c, _ in residuals))
     want = columns

