@@ -269,7 +269,12 @@ def _q_scan_orderkey_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_scan_table_range(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Row-group-pruned full-row range scan (zone maps -> decode_table)."""
+    """Compound-predicate pruned scan (scan_table_where, round 4):
+    range AND equality on different columns intersect their kept
+    row-group sets via metadata-only semi-joins — zone maps for the
+    range, zone maps + blooms for the equality — before one decode +
+    exact residuals.  (Upgraded from the single-range scan_table row;
+    scan_table itself stays pytest-covered.)"""
     from parquetjs_spark import pipeline
 
     df = (
@@ -278,8 +283,10 @@ def _q_scan_table_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("l_orderkey")
     )
     blobs = pipeline.encode_columns(df)
-    return pipeline.scan_table(
-        blobs, "l_orderkey", lo=100, hi=5000, pred_dtype="int64"
+    return pipeline.scan_table_where(
+        blobs,
+        ranges={"l_orderkey": (100, 5000)},
+        eqs={"l_returnflag": "A"},
     )
 
 
@@ -494,7 +501,7 @@ def oracle_sql() -> dict[str, str]:
     )
     out["scan_table_range"] = (
         "SELECT l_orderkey, l_quantity, l_returnflag FROM lineitem "
-        "WHERE l_orderkey BETWEEN 100 AND 5000"
+        "WHERE l_orderkey BETWEEN 100 AND 5000 AND l_returnflag = 'A'"
     )
     out["rt_array_emb_elem0"] = (
         "SELECT CAST(embedding[1] AS DOUBLE) AS e0, "

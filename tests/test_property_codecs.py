@@ -336,3 +336,49 @@ def test_bloom_never_false_negative(values):
     for v in values:
         if v is not None:
             assert bloom.might_contain(bits, v, "binary")
+
+
+@FAST
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.lists(
+                st.one_of(
+                    st.none(),
+                    st.lists(
+                        st.one_of(
+                            st.none(),
+                            st.lists(
+                                st.one_of(st.none(), st.text(max_size=6)),
+                                max_size=3,
+                            ),
+                        ),
+                        max_size=4,
+                    ),
+                ),
+                max_size=3,
+            ),
+        ),
+        min_size=0,
+        max_size=30,
+    )
+)
+def test_nested_list_string_roundtrip(values):
+    """Three repetition levels of strings — the shape whose empty
+    children carry absent offset/data buffers (pyarrow flatten segfault
+    guard in _split_list) and whose inner chunks ride StrBlock.
+    NOTE each row must be genuinely depth-3: pyarrow's python converter
+    silently iterates a str where a LIST is expected ('' -> [],
+    'ab' -> ['a','b']), so a depth-mismatched strategy corrupts the
+    input before the engine ever sees it."""
+    import pyarrow as pa
+
+    from parquetjs_spark import arrow_chunk
+
+    arr = pa.array(values, type=arrow_chunk.pa_type_of("list_list_list_string"))
+    blob, stats = arrow_chunk.encode_arrow_column(arr, "list_list_list_string")
+    out, dtype = arrow_chunk.decode_arrow_column(blob)
+    assert dtype == "list_list_list_string"
+    assert out.to_pylist() == values
+    assert arrow_chunk.verify_arrow(blob, stats["sha256"])
