@@ -128,19 +128,28 @@ def _q_codec_choices_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_verify_all_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed sha256 bit-identity over every chunk (rows-only)."""
+    """Distributed sha256 bit-identity over every chunk — the north
+    rule's flagship invariant, driver-checked: the projection is
+    partitioning-independent (raw chunk counts depend on file splits),
+    so the DuckDB oracle can assert it exactly: every column verified,
+    every value covered (sum of verified chunk sizes = width x
+    rowcount), zero mismatches."""
     from pyspark.sql import functions as F
 
     from parquetjs_spark import pipeline
 
     df = _load(spark, sf_dir, "lineitem")
     blobs = pipeline.encode_columns(df)
-    return (
-        pipeline.verify_blobs(blobs)
-        .agg(
-            F.count("*").alias("chunks"),
-            F.sum(F.when(F.col("ok"), 0).otherwise(1)).alias("mismatches"),
-        )
+    report = pipeline.verify_blobs(blobs).join(
+        blobs.select("part_id", "chunk_seq", "column", "n"),
+        on=["part_id", "chunk_seq", "column"],
+    )
+    return report.agg(
+        F.countDistinct("column").alias("columns_verified"),
+        F.sum(F.when(F.col("ok"), F.col("n")).otherwise(0)).alias(
+            "values_verified"
+        ),
+        F.sum(F.when(F.col("ok"), 0).otherwise(1)).alias("mismatches"),
     )
 
 
@@ -466,7 +475,12 @@ def oracle_sql() -> dict[str, str]:
         f"CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM lineitem"
         for c in _li_cols
     )
-    # codec_choices_lineitem / verify_all_lineitem: rows-only by design
+    # codec_choices_lineitem: rows-only by design (selector introspection)
+    out["verify_all_lineitem"] = (
+        "SELECT CAST(11 AS BIGINT) AS columns_verified, "
+        "CAST(11 * (SELECT COUNT(*) FROM lineitem) AS BIGINT) "
+        "AS values_verified, CAST(0 AS BIGINT) AS mismatches"
+    )
     out["rt_table_lineitem"] = (
         "SELECT l_orderkey, l_quantity, l_returnflag, l_shipdate FROM lineitem"
     )
