@@ -301,8 +301,17 @@ def char_jaccard_adjacent(docs: DataFrame) -> DataFrame:
     )
 
 
-def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5, k: int = 3) -> DataFrame:
-    """Exact word-k-gram Jaccard over LSH candidates (verify stage)."""
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    k: int = 3,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Exact word-k-gram Jaccard verification.  Candidates default to
+    MinHash-LSH banding (the production pipeline shape); pass ``pairs``
+    (doc_a, doc_b) to verify an explicit candidate set instead — the
+    verification math is identical and, unlike the LSH candidacy, fully
+    SQL-expressible for oracle checks."""
     toks = F.split(F.col("text"), " ")
     grams = F.array_distinct(
         F.transform(
@@ -311,7 +320,11 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5, k: int = 3) -> 
         )
     )
     d = docs.select("doc_id", grams.alias("grams"))
-    cands = lsh_candidate_pairs(minhash_signatures(docs), 16, 4)
+    cands = (
+        pairs
+        if pairs is not None
+        else lsh_candidate_pairs(minhash_signatures(docs), 16, 4)
+    )
     ga = d.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("ga"))
     gb = d.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("gb"))
     inter = F.size(F.array_intersect("ga", "gb"))

@@ -182,9 +182,27 @@ def q_dedup_paragraphs_seeded(spark, sf_dir):
 
 
 def q_ngram_jaccard_pairs(spark, sf_dir):
+    """n-gram Jaccard verification over the SEEDED candidate set (exact
+    dups at 100, one-word-appended near-dups just under): the verify
+    math is the production operator's; the LSH candidacy (not SQL) is
+    separately evidenced by minhash_dedup_pairs_seeded."""
+    from pyspark.sql import functions as F
+
     from . import dedup
 
-    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir))
+    docs = _seeded_docs(spark, sf_dir)
+    orig = docs.where(F.col("doc_id") < 10_000_000)
+    exact = orig.where(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("doc_a"),
+        (F.col("doc_id") + 10_000_000).alias("doc_b"),
+    )
+    near = orig.where(F.col("doc_id") % 7 == 3).select(
+        F.col("doc_id").alias("doc_a"),
+        (F.col("doc_id") + 20_000_000).alias("doc_b"),
+    )
+    return dedup.ngram_jaccard_pairs(
+        docs, threshold=0.3, pairs=exact.unionByName(near)
+    )
 
 
 # --- similarity -------------------------------------------------------------
@@ -411,6 +429,24 @@ def oracle_sql() -> dict[str, str]:
         "exact_dup_groups_seeded": (
             f"SELECT text, COUNT(*) AS dup_count FROM {_SEEDED_ORACLE_SRC} "
             "GROUP BY text HAVING COUNT(*) > 1"
+        ),
+        "ngram_jaccard_pairs": (
+            f"WITH s AS (SELECT * FROM {_SEEDED_ORACLE_SRC} t), "
+            "g AS (SELECT doc_id, list_distinct(list_transform("
+            "range(0, greatest(len(string_split(text, ' ')) - 3, 0) + 1), "
+            "i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' '))) "
+            "AS grams FROM s), "
+            "c AS (SELECT doc_id AS doc_a, doc_id + 10000000 AS doc_b "
+            "FROM documents WHERE doc_id % 10 = 0 "
+            "UNION ALL SELECT doc_id AS doc_a, doc_id + 20000000 AS doc_b "
+            "FROM documents WHERE doc_id % 7 = 3) "
+            "SELECT * FROM (SELECT c.doc_a, c.doc_b, "
+            "CAST(FLOOR(len(list_intersect(ga.grams, gb.grams)) * 100.0 / "
+            "len(list_distinct(list_concat(ga.grams, gb.grams)))) AS BIGINT) "
+            "AS jaccard_pct FROM c "
+            "JOIN g ga ON ga.doc_id = c.doc_a "
+            "JOIN g gb ON gb.doc_id = c.doc_b) "
+            "WHERE jaccard_pct >= 30"
         ),
         "dedup_paragraphs_seeded": (
             "WITH src AS (SELECT d.doc_id, d.text || chr(10) || chr(10) || "
