@@ -737,14 +737,21 @@ def decode_table(
     tree = dict(_unflatten_tree([(r["column"], r["dtype"]) for r in meta_rows]))
     if columns is None:
         columns = list(tree)
-    missing = [c for c in columns if c not in tree]
-    if missing:
-        raise ValueError(f"no chunks for columns: {missing}")
-    nodes = {c: tree[c] for c in columns}
+    flat_dtypes = {r["column"]: r["dtype"] for r in meta_rows}
+    nodes = {}
+    for c in columns:
+        if c in tree:
+            nodes[c] = tree[c]
+        elif c in flat_dtypes:
+            # a dotted LEAF path ("meta.origin") requested directly:
+            # decode just that chunk as a column under its flat name —
+            # scan predicates on struct leaves project this way
+            nodes[c] = ("leaf", c, flat_dtypes[c])
+        else:
+            raise ValueError(f"no chunks for columns: [{c!r}]")
     flat_names: list[str] = []
     for c in columns:
         flat_names.extend(_node_flat_names(nodes[c]))
-    flat_dtypes = {r["column"]: r["dtype"] for r in meta_rows}
     pa_types = {}
     for name in flat_names:
         dt = flat_dtypes[name]

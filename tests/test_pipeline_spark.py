@@ -876,3 +876,34 @@ def test_scan_eq_null_lookup(spark):
         assert kept <= total
     finally:
         blobs.unpersist()
+
+
+def test_scan_eq_struct_leaf_with_projection(spark):
+    """Point lookup on a dotted struct leaf WITH a projection: the leaf
+    chunk decodes as its own column (decode_table accepts flat leaf
+    paths), so the residual applies and other columns project out."""
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [
+            Row(name="n%d" % i, meta=Row(origin=["ES", "BR", "NZ"][i % 3],
+                                         organic=i % 2 == 0))
+            for i in range(300)
+        ],
+        "name string, meta struct<origin: string, organic: boolean>",
+    )
+    blobs = pipeline.encode_columns(df, chunk_rows=64).cache()
+    try:
+        got = pipeline.scan_eq(blobs, "meta.origin", "ES", columns=["name"])
+        assert got.columns == ["name"]
+        want = sorted(
+            r["name"] for r in df.where(F.col("meta.origin") == "ES").collect()
+        )
+        assert sorted(r[0] for r in got.collect()) == want and len(want) == 100
+        # compound form too: struct-leaf eq AND scalar range
+        got2 = pipeline.scan_table_where(
+            blobs, eqs={"meta.origin": "BR"}, columns=["name"]
+        )
+        assert got2.count() == 100
+    finally:
+        blobs.unpersist()
