@@ -221,6 +221,19 @@ def flatten_struct_columns(df: DataFrame, cols: list[str]):
     ``pretty`` maps them to the dotted chunk names recorded in the
     manifest.  No-op (same df, identity mapping) when no column is a
     struct."""
+    for c in cols:
+        # reserved chunk-name syntax: "." separates struct-leaf paths,
+        # @def/@edef are validity chunks.  A literal source column using
+        # them would collide with shredded names on decode — reject with
+        # a clear error instead of Spark's puzzling resolution failure.
+        if "." in c or c.endswith(STRUCT_DEF_SUFFIX) or c.endswith(
+            LIST_STRUCT_DEF_SUFFIX
+        ):
+            raise ValueError(
+                f"column name {c!r} uses reserved chunk-name syntax "
+                "('.', '@def', '@edef' — struct shredding, SURVEY.md); "
+                "rename the source column before encoding"
+            )
     if not any(
         isinstance(df.schema[c].dataType, T.StructType)
         or _is_arrstruct(df.schema[c].dataType)

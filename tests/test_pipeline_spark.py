@@ -907,3 +907,12 @@ def test_scan_eq_struct_leaf_with_projection(spark):
         assert got2.count() == 100
     finally:
         blobs.unpersist()
+
+
+def test_reserved_column_names_rejected(spark):
+    """'.'/'@def'/'@edef' in a SOURCE column name would collide with
+    shredded chunk names on decode — rejected with a clear error."""
+    for bad in ("a.b", "c@def", "d@edef"):
+        df = spark.createDataFrame([(1,)], f"`{bad}` long")
+        with pytest.raises(ValueError, match="reserved chunk-name"):
+            pipeline.encode_columns(df)
