@@ -706,6 +706,7 @@ def decode_table(
     blob_df: DataFrame,
     columns: list[str] | None = None,
     meta_rows: list | None = None,
+    ordered: bool = False,
 ) -> DataFrame:
     """Reassemble the original multi-column DataFrame from the blob table —
     the cursor/materializeRecords analogue
@@ -792,6 +793,16 @@ def decode_table(
         else:
             plan.append(("node", c, None))
             inner_fields.append(T.StructField(c, _node_spark_type(nodes[c])))
+    if ordered:
+        # write-order read-back (the reference cursor's iteration order):
+        # each group emits its identity + row index, the final global
+        # sort restores (partition, chunk, row) order.  Opt-in: the sort
+        # is a full range-partition shuffle at scale.
+        inner_fields = inner_fields + [
+            T.StructField("__pid", T.IntegerType()),
+            T.StructField("__cseq", T.LongType()),
+            T.StructField("__ridx", T.LongType()),
+        ]
     inner_schema = T.StructType(inner_fields)
     out_names = [f.name for f in inner_fields]
 
@@ -817,6 +828,13 @@ def decode_table(
                     a = decoded[name]
                     want_t = pa_types[name]
                     arrays.append(a.cast(want_t) if a.type != want_t else a)
+        if ordered:
+            n_rows = len(arrays[0]) if arrays else 0
+            pid = group.column("part_id")[0].as_py()
+            cseq = group.column("chunk_seq")[0].as_py()
+            arrays.append(pa.array(np.full(n_rows, pid, dtype=np.int32)))
+            arrays.append(pa.array(np.full(n_rows, cseq, dtype=np.int64)))
+            arrays.append(pa.array(np.arange(n_rows, dtype=np.int64)))
         return pa.Table.from_arrays(arrays, names=out_names)
 
     pruned = blob_df.where(F.col("column").isin(flat_names)).select(
@@ -825,7 +843,10 @@ def decode_table(
     decoded_df = pruned.groupBy("part_id", "chunk_seq").applyInArrow(
         assemble, schema=inner_schema
     )
+    order_cols = ["__pid", "__cseq", "__ridx"]
     if all(kind == "node" for kind, _, _ in plan):
+        if ordered:
+            return decoded_df.orderBy(*order_cols).drop(*order_cols)
         return decoded_df
 
     def colref(name: str):
@@ -837,6 +858,9 @@ def decode_table(
             exprs.append(F.col(f"`{c}`"))
         else:
             exprs.append(_rebuild_expr(nodes[c], colref).alias(c))
+    if ordered:
+        out = decoded_df.select(*exprs, *[F.col(c) for c in order_cols])
+        return out.orderBy(*order_cols).drop(*order_cols)
     return decoded_df.select(*exprs)
 
 

@@ -916,3 +916,31 @@ def test_reserved_column_names_rejected(spark):
         df = spark.createDataFrame([(1,)], f"`{bad}` long")
         with pytest.raises(ValueError, match="reserved chunk-name"):
             pipeline.encode_columns(df)
+
+
+def test_decode_table_ordered(spark):
+    """ordered=True restores write order — the reference cursor's
+    iteration order (rows come back exactly as appended), including
+    through the repeated-group JVM rebuild path."""
+    df = (
+        load_table(spark, SF, "lineitem")
+        .select("l_orderkey", "l_linenumber")
+        .limit(3000)
+        .coalesce(1)
+    )
+    src = [tuple(r) for r in df.collect()]  # write order
+    blobs = pipeline.encode_columns(df, chunk_rows=256)
+    got = [tuple(r) for r in pipeline.decode_table(blobs, ordered=True).collect()]
+    assert got == src
+    # nested path (liststruct rebuild) keeps order too
+    df2 = df.select(
+        "l_orderkey",
+        F.array(F.struct(F.col("l_linenumber").alias("n"))).alias("xs"),
+    )
+    src2 = [r["l_orderkey"] for r in df2.collect()]
+    blobs2 = pipeline.encode_columns(df2, chunk_rows=256)
+    got2 = [
+        r["l_orderkey"]
+        for r in pipeline.decode_table(blobs2, ordered=True).collect()
+    ]
+    assert got2 == src2
