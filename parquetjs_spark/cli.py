@@ -126,7 +126,7 @@ def cmd_decode_table(args) -> int:
     spark = _spark(args)
     blobs = pipeline.read_encoded(spark, args.input)
     cols = args.columns.split(",") if args.columns else None
-    out = pipeline.decode_table(blobs, cols)
+    out = pipeline.decode_table(blobs, cols, ordered=args.ordered)
     out.write.mode("overwrite").parquet(args.output)
     print(json.dumps({"rows": spark.read.parquet(args.output).count(),
                       "columns": out.columns}))
@@ -296,6 +296,11 @@ def main(argv: list[str] | None = None) -> int:
     pt = sub.add_parser("decode-table")
     pt.add_argument("--input", required=True)
     pt.add_argument("--columns", default=None, help="comma-separated; default all")
+    pt.add_argument(
+        "--ordered",
+        action="store_true",
+        help="restore write order (global sort; the reference cursor's order)",
+    )
     pt.add_argument("--output", required=True)
     pt.set_defaults(fn=cmd_decode_table)
 

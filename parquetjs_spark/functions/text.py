@@ -162,3 +162,27 @@ def rolling_fingerprint(docs: DataFrame, window: int = 8) -> DataFrame:
             )
 
     return hashed.mapInPandas(fn, schema=schema)
+
+
+def corpus_token_frequencies(
+    docs: DataFrame, top_n: int | None = None, min_count: int = 1
+) -> DataFrame:
+    """Corpus-level token frequency table — the first pass of tokenizer
+    training (BPE/unigram vocab seeding) and of corpus-statistics
+    reports.  Pure built-ins: explode -> groupBy(token) -> count, with
+    map-side partial aggregation doing the heavy lifting (each task
+    pre-counts its tokens before the single shuffle, so shuffled bytes
+    scale with VOCABULARY size per task, not corpus size).  ``top_n``
+    uses TakeOrderedAndProject (k rows per partition), never a full
+    sort."""
+    tokens = docs.select(
+        F.explode(
+            F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+        ).alias("token")
+    )
+    counts = tokens.groupBy("token").agg(F.count("*").alias("n"))
+    if min_count > 1:
+        counts = counts.where(F.col("n") >= min_count)
+    if top_n is not None:
+        counts = counts.orderBy(F.desc("n"), F.asc("token")).limit(top_n)
+    return counts

@@ -395,3 +395,18 @@ def test_remove_duplicate_paragraphs(spark):
     assert out[4] == ""
     assert out[5] == "tiny"
     assert set(out) == {1, 2, 3, 4, 5}
+
+
+def test_corpus_token_frequencies(spark):
+    from parquetjs_spark.functions import text
+
+    docs = spark.createDataFrame(
+        [(1, "a b a  c"), (2, "b a"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    got = {r["token"]: r["n"] for r in text.corpus_token_frequencies(docs).collect()}
+    assert got == {"a": 3, "b": 2, "c": 1}
+    top = text.corpus_token_frequencies(docs, top_n=2).collect()
+    assert [(r["token"], r["n"]) for r in top] == [("a", 3), ("b", 2)]
+    assert {r["token"] for r in
+            text.corpus_token_frequencies(docs, min_count=2).collect()} == {"a", "b"}
