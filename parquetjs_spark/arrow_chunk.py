@@ -995,5 +995,12 @@ def arrow_canonical_sha(arr: pa.Array, dtype: str) -> str:
 
 
 def verify_arrow(blob: bytes, expected_sha: str) -> bool:
-    arr, dtype = decode_arrow_column(blob)
-    return arrow_canonical_sha(arr, dtype) == expected_sha
+    """True iff the blob decodes AND its canonical sha matches.  A blob
+    corrupted badly enough to break decode framing must report
+    ok=False like any other mismatch — verification is a report, not a
+    crash (one torn chunk must not abort a 100 TB verify job)."""
+    try:
+        arr, dtype = decode_arrow_column(blob)
+        return arrow_canonical_sha(arr, dtype) == expected_sha
+    except Exception:
+        return False

@@ -944,3 +944,34 @@ def test_decode_table_ordered(spark):
         for r in pipeline.decode_table(blobs2, ordered=True).collect()
     ]
     assert got2 == src2
+
+
+def test_verify_detects_corruption(spark):
+    """The negative case of the bit-identity gate: corrupt ONE chunk's
+    bytes — whether a value flip (sha mismatch) or framing destruction
+    (decode failure) — and verify flags exactly that chunk, without
+    aborting the job."""
+    df = load_table(spark, SF, "lineitem").select("l_orderkey", "l_returnflag")
+    blobs = pipeline.encode_columns(df, chunk_rows=512).cache()
+    try:
+        target = blobs.select("part_id", "chunk_seq", "column").first()
+        hit = (
+            (F.col("part_id") == target[0])
+            & (F.col("chunk_seq") == target[1])
+            & (F.col("column") == target[2])
+        )
+        n_chunks = blobs.count()
+        # framing destruction: drop the blob's first 8 bytes
+        torn = blobs.withColumn(
+            "data",
+            F.when(hit, F.expr("substring(data, 9)")).otherwise(F.col("data")),
+        )
+        report = pipeline.verify_blobs(torn)
+        bad = report.where(~F.col("ok")).collect()
+        assert len(bad) == 1
+        assert (bad[0]["part_id"], bad[0]["chunk_seq"], bad[0]["column"]) == (
+            target[0], target[1], target[2],
+        )
+        assert report.where(F.col("ok")).count() == n_chunks - 1
+    finally:
+        blobs.unpersist()
