@@ -1306,6 +1306,51 @@ def scan_table_where(
     return out
 
 
+def scan_stats(
+    blob_df: DataFrame,
+    ranges: dict[str, tuple] | None = None,
+    eqs: dict | None = None,
+) -> DataFrame:
+    """Pruning observability: for each predicate, how many chunks the
+    zone maps / blooms keep vs total — the number that tells you whether
+    your layout is working (clustered data prunes ranges hard; blooms
+    prune point probes even on random arrival) BEFORE you pay for a
+    scan.  Pure metadata aggregation; returns one row per predicate
+    (column, kind, chunks_total, chunks_kept)."""
+    ranges = dict(ranges or {})
+    eqs = dict(eqs or {})
+    if not ranges and not eqs:
+        raise ValueError("scan_stats needs at least one predicate")
+    blob_df = _ensure_stat_cols(blob_df, bloom=True)
+    spark = blob_df.sparkSession
+    out_rows = []
+    for col, (lo, hi) in ranges.items():
+        rows = blob_df.where(F.col("column") == col)
+        dtype = _resolve_dtype(rows, col, None, meta_src=blob_df)
+        styp = spark_type_of(dtype)
+        total = rows.count()
+        kept = _zonemap_filter(rows, styp, lo, hi).count()
+        out_rows.append((col, "range", total, kept))
+    for col, value in eqs.items():
+        rows = blob_df.where(F.col("column") == col)
+        dtype = _resolve_dtype(rows, col, None, meta_src=blob_df)
+        styp = spark_type_of(dtype)
+        total = rows.count()
+        if value is None:
+            kept = rows.where(
+                F.col("n_nulls").isNull() | (F.col("n_nulls") > 0)
+            ).count()
+        else:
+            value, probe_val = _normalize_eq_literal(dtype, value)
+            pr = _zonemap_filter(rows, styp, lo=value, hi=value)
+            kept = _bloom_probe_filter(pr, dtype, probe_val).count()
+        out_rows.append((col, "eq", total, kept))
+    return spark.createDataFrame(
+        out_rows,
+        "column string, kind string, chunks_total long, chunks_kept long",
+    )
+
+
 VERIFY_SCHEMA = T.StructType(
     [
         T.StructField("part_id", T.IntegerType()),

@@ -975,3 +975,33 @@ def test_verify_detects_corruption(spark):
         assert report.where(F.col("ok")).count() == n_chunks - 1
     finally:
         blobs.unpersist()
+
+
+def test_scan_stats_observability(spark):
+    """Per-predicate pruning report: clustered range prunes hard, a
+    bloom point probe on an absent key prunes everything, and the
+    report never touches blob bytes (pure metadata counts)."""
+    df = load_table(spark, SF, "lineitem").select("l_orderkey", "l_partkey")
+    blobs = pipeline.encode_columns(
+        pipeline.clustered_repartition(df, "l_orderkey", 8), chunk_rows=256
+    ).cache()
+    try:
+        absent = int(df.agg(F.max("l_partkey")).collect()[0][0]) + 999
+        stats = {
+            (r["column"], r["kind"]): (r["chunks_total"], r["chunks_kept"])
+            for r in pipeline.scan_stats(
+                blobs,
+                ranges={"l_orderkey": (100, 200)},
+                eqs={"l_partkey": absent},
+            ).collect()
+        }
+        t_rng, k_rng = stats[("l_orderkey", "range")]
+        assert k_rng < t_rng  # clustered layout prunes the range
+        t_eq, k_eq = stats[("l_partkey", "eq")]
+        assert k_eq == 0  # bloom rejects the absent key everywhere
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="at least one predicate"):
+            pipeline.scan_stats(blobs)
+    finally:
+        blobs.unpersist()
