@@ -1005,3 +1005,36 @@ def test_scan_stats_observability(spark):
             pipeline.scan_stats(blobs)
     finally:
         blobs.unpersist()
+
+
+def test_scan_randomized_consistency(spark):
+    """Seeded randomized probes over an int column with negatives and
+    boundary values: scan_eq / scan_column / scan_table_where always
+    equal the plain DataFrame filter (bloom false-negatives would show
+    here as missing rows)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    vals = rng.integers(-500, 500, size=4000).tolist()
+    df = spark.createDataFrame(
+        [(i, int(v)) for i, v in enumerate(vals)], "rid long, k long"
+    ).repartition(4)
+    blobs = pipeline.encode_columns(df, chunk_rows=256).cache()
+    try:
+        lo_all, hi_all = min(vals), max(vals)
+        probes = [lo_all, hi_all, 0, -1, 1, 9999, -9999] + [
+            int(x) for x in rng.choice(vals, 5)
+        ]
+        for p in probes:
+            want = vals.count(p)
+            assert pipeline.scan_eq(blobs, "k", p).count() == want, p
+        for lo, hi in [(-500, 500), (0, 0), (-50, 49), (600, 700), (hi_all, hi_all)]:
+            want = sum(1 for v in vals if lo <= v <= hi)
+            got = pipeline.scan_column(blobs, "k", lo=lo, hi=hi).count()
+            assert got == want, (lo, hi)
+            got2 = pipeline.scan_table_where(
+                blobs, ranges={"k": (lo, hi)}, columns=["rid"]
+            ).count()
+            assert got2 == want, (lo, hi)
+    finally:
+        blobs.unpersist()
