@@ -193,3 +193,40 @@ def test_time_ns_pandas_path_refuses_sub_microsecond():
     assert out.cast(pa.int64()).to_pylist() == [12_345_678_901]
     with pytest.raises(ValueError, match="sub-microsecond"):
         chunk.decode_chunk(blob)
+
+
+def test_int64_extremes_and_float_specials_roundtrip():
+    """Full-range int64 (INT64_MIN/MAX — a max-min overflow in FOR or
+    the selector would corrupt) and IEEE specials (nan/inf/-0.0 bit
+    identity) survive the auto path."""
+    import math
+    import struct
+
+    import pyarrow as pa
+
+    from parquetjs_spark import arrow_chunk
+
+    for vals in (
+        [-2**63, 2**63 - 1, 0, None, 42],
+        [-2**63] * 10,
+        [2**63 - 1, 2**63 - 2] * 50,
+    ):
+        arr = pa.array(vals, type=pa.int64())
+        blob, stats = arrow_chunk.encode_arrow_column(
+            arr, "int64", codec="auto", compression="auto"
+        )
+        out, dt = arrow_chunk.decode_arrow_column(blob)
+        assert out.to_pylist() == vals
+        assert arrow_chunk.verify_arrow(blob, stats["sha256"])
+
+    fvals = [float("nan"), float("inf"), float("-inf"), -0.0, 1.5, None]
+    arr = pa.array(fvals, type=pa.float64())
+    blob, stats = arrow_chunk.encode_arrow_column(
+        arr, "float64", codec="auto", compression="auto"
+    )
+    out, _ = arrow_chunk.decode_arrow_column(blob)
+    got = out.to_pylist()
+    assert math.isnan(got[0]) and got[1] == math.inf and got[2] == -math.inf
+    assert struct.pack("<d", got[3]) == struct.pack("<d", -0.0)
+    assert got[4] == 1.5 and got[5] is None
+    assert arrow_chunk.verify_arrow(blob, stats["sha256"])

@@ -1038,3 +1038,30 @@ def test_scan_randomized_consistency(spark):
             assert got2 == want, (lo, hi)
     finally:
         blobs.unpersist()
+
+
+def test_scan_eq_unicode_negative_empty(spark):
+    """Bloom probes hash the encoder's exact bytes: negative/extreme
+    ints, unicode, empty strings, and control characters all point-look
+    up correctly (and the same table round-trips bit-identical)."""
+    df = spark.createDataFrame(
+        [(i, int(v), s) for i, (v, s) in enumerate([
+            (-5, "héllo wörld"), (0, ""), (7, "日本語テキスト"),
+            (-5, "héllo wörld"), (2**62, "emoji 🎉 test"),
+            (-2**62, "tab\tand\nnewline"),
+        ] * 50)],
+        "rid long, k long, s string",
+    )
+    blobs = pipeline.encode_columns(df, chunk_rows=64).cache()
+    try:
+        for probe in (-5, 0, 7, 2**62, -2**62, 999):
+            want = df.where(F.col("k") == probe).count()
+            assert pipeline.scan_eq(blobs, "k", probe).count() == want, probe
+        for sp in ("héllo wörld", "", "日本語テキスト", "emoji 🎉 test",
+                   "tab\tand\nnewline", "absent"):
+            want = df.where(F.col("s") == sp).count()
+            assert pipeline.scan_eq(blobs, "s", sp).count() == want, sp
+        out = pipeline.decode_table(blobs)
+        assert sorted(map(repr, out.collect())) == sorted(map(repr, df.collect()))
+    finally:
+        blobs.unpersist()
