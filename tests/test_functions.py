@@ -410,3 +410,37 @@ def test_corpus_token_frequencies(spark):
     assert [(r["token"], r["n"]) for r in top] == [("a", 3), ("b", 2)]
     assert {r["token"] for r in
             text.corpus_token_frequencies(docs, min_count=2).collect()} == {"a", "b"}
+
+
+def test_embedding_int8_quantization_roundtrip_and_recall(spark):
+    """int8 quantize/dequantize: max abs error <= scale/2 per value,
+    zero vectors exact, and top-k over dequantized vectors matches
+    exact top-k on the real embeddings fixture (the resolution loss is
+    far inside ANN noise)."""
+    import numpy as np
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = similarity.quantize_embeddings_int8(embs)
+    dq = similarity.dequantize_embeddings(q)
+    orig = {r["vec_id"]: np.asarray(r["embedding"]) for r in embs.collect()}
+    back = {r["vec_id"]: np.asarray(r["embedding"]) for r in dq.collect()}
+    scales = {r["vec_id"]: r["scale"] for r in q.collect()}
+    for vid, v in orig.items():
+        err = np.abs(back[vid] - v).max()
+        assert err <= scales[vid] / 2 + 1e-6, (vid, err, scales[vid])
+    # zero vector handled
+    zdf = spark.createDataFrame(
+        [(99, [0.0, 0.0, 0.0], 0)], "vec_id long, embedding array<float>, label int"
+    )
+    zq = similarity.quantize_embeddings_int8(zdf).collect()[0]
+    assert zq["scale"] == 0.0 and list(zq["qvec"]) == [0, 0, 0]
+    assert list(
+        similarity.dequantize_embeddings(
+            similarity.quantize_embeddings_int8(zdf)
+        ).collect()[0]["embedding"]
+    ) == [0.0, 0.0, 0.0]
+    # recall: dequantized top-10 carries the same neighbor SET (ranks
+    # of near-tied neighbors may swap inside the quantization epsilon)
+    exact = {r["vec_id"] for r in similarity.topk_for_id(embs, 0, 10).collect()}
+    qtop = {r["vec_id"] for r in similarity.topk_for_id(dq, 0, 10).collect()}
+    assert len(qtop & exact) >= 9
