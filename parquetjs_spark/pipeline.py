@@ -1471,24 +1471,34 @@ def write_encoded(
     The trade-off is one output file per (column, task) instead of one
     per task; prefer it when k (columns) is small relative to the
     desired file count."""
+    spark = blob_df.sparkSession
+    # an append must not lose the first run's user KV: carry existing
+    # rows forward, new values winning per key (read BEFORE the blob
+    # write so a same-session overwrite can't read its own output)
+    kv: dict[str, str] = {}
+    if mode == "append":
+        kv.update(read_metadata(spark, path))
     wr = blob_df.write.mode(mode)
     if partition_by_column:
         wr = wr.partitionBy("column")
     wr.parquet(f"{path}/blobs")
     blob_df.select(*MANIFEST_COLUMNS).write.mode(mode).parquet(f"{path}/manifest")
+    # the manifest on disk just changed — a cached (col_idx, dtype) map
+    # for this path is now stale and would silently drive decode with
+    # the OLD schema after an overwrite-recast; drop it
+    _META_CACHE.pop(path, None)
     # reserved keys ride the same KV table as user metadata; the sha
     # format marker lets verify distinguish "canonical sha definition
     # changed since this table was written" from real corruption
     # (the string sha feed changed payload-order in round 3)
-    kv = {_SHA_FORMAT_KEY: str(SHA_FORMAT_VERSION)}
+    kv[_SHA_FORMAT_KEY] = str(SHA_FORMAT_VERSION)
     for k, v in (metadata or {}).items():
         kv[str(k)] = str(v)
-    spark = blob_df.sparkSession
     mdf = spark.createDataFrame(
         list(kv.items()), "key string, value string"
     )
-    # always overwrite: a resume (mode="append") must not stack
-    # duplicate marker/user rows — KV semantics are last-write-wins
+    # KV table itself is always overwrite: a resume (mode="append")
+    # must not stack duplicate rows — semantics are last-write-wins
     mdf.coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 

@@ -42,6 +42,9 @@ def encode_stream(
         blobs.select(*pipeline.MANIFEST_COLUMNS).write.mode("append").parquet(
             f"{output_path}/manifest"
         )
+        # every batch mutates the manifest; a driver-side metadata
+        # cache entry from a mid-stream read would go stale otherwise
+        pipeline._META_CACHE.pop(output_path, None)
         # sha-format marker, same as write_encoded: without it a
         # streamed table would read as "old hash format" to verify.
         # Overwritten every batch (one tiny file) so a checkpoint
