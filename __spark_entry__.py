@@ -55,7 +55,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # (dropped duplicates are noted with the row that still covers the path).
 _ROUNDTRIPS: list[tuple[str, str, str, str]] = [
     # (query_name, table, column, codec)
-    ("rt_auto_returnflag", "lineitem", "l_returnflag", "auto"),  # string/dict
+    # (rt_auto_returnflag folded round 5: low-cardinality string auto
+    # selects the DICT path already pinned by rt_dict_returnflag on the
+    # SAME column, and selector dispatch stays covered by the remaining
+    # rt_auto_* rows + codec_choices_lineitem — freed row funds the
+    # oracle-green emb_quantize_roundtrip entry)
     ("rt_auto_orderkey", "lineitem", "l_orderkey", "auto"),  # int64
     ("rt_auto_partsize", "part", "p_size", "auto"),  # int32
     # (rt_auto_doctext folded: long-string auto selection is covered by

@@ -49,10 +49,27 @@ def q_doc_lang_id(spark, sf_dir):
     return text.language_id(_docs(spark, sf_dir))
 
 
-def q_doc_rolling_fp(spark, sf_dir):
+def q_doc_rolling_fp_seeded(spark, sf_dir):
+    """Rolling-fingerprint determinism made SQL-checkable: the hash
+    itself (xxhash64 tokens + polynomial combine) is not SQL, but
+    identical content MUST yield identical fingerprints regardless of
+    partition/batch placement — so over the seeded corpus, every
+    (i, i+10M) exact-dup pair must agree on rfp.  Emitting exactly the
+    agreeing planted pairs gives a constant-by-construction oracle
+    (upgrades round-4's rows-only doc_rolling_fp row)."""
+    from pyspark.sql import functions as F
+
     from . import text
 
-    return text.rolling_fingerprint(_docs(spark, sf_dir))
+    fps = text.rolling_fingerprint(_seeded_docs(spark, sf_dir))
+    a = fps.select(F.col("doc_id").alias("doc_a"), F.col("rfp").alias("fp_a"))
+    b = fps.select(F.col("doc_id").alias("doc_b"), F.col("rfp").alias("fp_b"))
+    return (
+        a.where((F.col("doc_a") % 10 == 0) & (F.col("doc_a") < 10_000_000))
+        .join(b, F.col("doc_b") == F.col("doc_a") + 10_000_000)
+        .where(F.col("fp_a") == F.col("fp_b"))
+        .select("doc_a", "doc_b")
+    )
 
 
 # --- dedup ----------------------------------------------------------------
@@ -214,16 +231,69 @@ def q_emb_topk_vec0(spark, sf_dir):
     return similarity.topk_for_id(_embs(spark, sf_dir), query_id=0, k=10)
 
 
-def q_emb_lsh_topk_vec0(spark, sf_dir):
+def _seeded_embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings + planted exact-duplicate vectors (vec_id + 10M, same
+    embedding) for vec_ids 0..2 — the ANN analogue of _seeded_docs.  An
+    identical vector hashes to the query's own LSH bucket and argmaxes
+    to the query's own IVF cell, so the planted duplicate is ALWAYS a
+    candidate and always re-ranks at cosine 1.0 — an invariant that is
+    SQL-predictable even though the bucketing is not."""
+    from pyspark.sql import functions as F
+
+    embs = _embs(spark, sf_dir).select("vec_id", "embedding")
+    dups = embs.where(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"), "embedding"
+    )
+    return embs.unionByName(dups)
+
+
+def _planted_dup_rows(topk_fn, spark, sf_dir) -> DataFrame:
+    """Run an ANN top-k for query ids 0..2 over the seeded table and
+    keep only the planted-duplicate hit per query: present iff the
+    duplicate survived candidacy + re-rank, score_u exactly 1000000."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    embs = _seeded_embs(spark, sf_dir)
+    outs = []
+    for qid in (0, 1, 2):
+        topk = topk_fn(embs, qid)
+        outs.append(
+            topk.where(F.col("vec_id") == qid + 10_000_000).select(
+                F.lit(qid).cast("long").alias("query_id"),
+                F.col("vec_id").alias("dup_id"),
+                "score_u",
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), outs)
+
+
+def q_emb_lsh_planted_dup(spark, sf_dir):
+    """Multi-probe LSH ANN driver evidence (upgrades round-4's
+    rows-only emb_lsh_topk_vec0): planted exact-dup vectors must appear
+    in their query's top-k with score_u = 1000000.  Candidate recall on
+    non-identical neighbors stays covered by the recall pytest."""
     from . import similarity
 
-    return similarity.lsh_topk_for_id(_embs(spark, sf_dir), query_id=0, k=5)
+    return _planted_dup_rows(
+        lambda embs, qid: similarity.lsh_topk_for_id(embs, query_id=qid, k=5),
+        spark,
+        sf_dir,
+    )
 
 
-def q_emb_ivf_topk_vec0(spark, sf_dir):
+def q_emb_ivf_planted_dup(spark, sf_dir):
+    """IVF-flat ANN driver evidence (upgrades rows-only
+    emb_ivf_topk_vec0) — same planted-duplicate invariant: the dup's
+    cell is the query's own argmax cell, always probed first."""
     from . import similarity
 
-    return similarity.ivf_topk_for_id(_embs(spark, sf_dir), query_id=0, k=5)
+    return _planted_dup_rows(
+        lambda embs, qid: similarity.ivf_topk_for_id(embs, query_id=qid, k=5),
+        spark,
+        sf_dir,
+    )
 
 
 def q_simhash_near_dup_seeded(spark, sf_dir):
@@ -287,6 +357,31 @@ def q_emb_near_dup_pairs(spark, sf_dir):
     # production cutoff (0.95): expected EMPTY on this synthetic data —
     # the operator's real contract, kept honest alongside the demo above
     return similarity.embedding_near_dup_pairs(_embs(spark, sf_dir))
+
+
+def q_emb_quantize_roundtrip(spark, sf_dir):
+    """int8 quantize -> dequantize, projected to hashable scalars:
+    per-vector scale, first quantized value, vector length, and the
+    dequantized first element after the float32 storage round-trip.
+    All pure float64/float32 IEEE arithmetic, so DuckDB reproduces it
+    bit-exact (folds the round-4 pytest-only quantization op into the
+    driver window)."""
+    from pyspark.sql import functions as F
+
+    from . import similarity
+
+    q = similarity.quantize_embeddings_int8(_embs(spark, sf_dir))
+    d = similarity.dequantize_embeddings(q)
+    qs = q.select(
+        "vec_id",
+        "scale",
+        F.element_at("qvec", 1).cast("long").alias("q0"),
+        F.size("qvec").alias("n_q"),
+    )
+    ds = d.select(
+        "vec_id", F.element_at("embedding", 1).cast("double").alias("d0")
+    )
+    return qs.join(ds, "vec_id")
 
 
 # --- multimodal --------------------------------------------------------------
@@ -377,12 +472,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # exercised inside simhash_near_dup_seeded + pytest) to fund the
     # oracle-green paragraph-dedup row within the 50-query window
     return {
+        "emb_lsh_planted_dup": q_emb_lsh_planted_dup,
+        "emb_ivf_planted_dup": q_emb_ivf_planted_dup,
+        "doc_rolling_fp_seeded": q_doc_rolling_fp_seeded,
+        "emb_quantize_roundtrip": q_emb_quantize_roundtrip,
         "dedup_paragraphs_seeded": q_dedup_paragraphs_seeded,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "dup_clusters_seeded": q_dup_clusters_seeded,
         "emb_topk_vec0": q_emb_topk_vec0,
-        "emb_lsh_topk_vec0": q_emb_lsh_topk_vec0,
-        "emb_ivf_topk_vec0": q_emb_ivf_topk_vec0,
         "simhash_near_dup_seeded": q_simhash_near_dup_seeded,
         "dedup_keep_canonical_seeded": q_dedup_keep_canonical_seeded,
         "emb_near_dup_pairs": q_emb_near_dup_pairs,
@@ -395,7 +492,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": q_doc_quality,
         "doc_fingerprints": q_doc_fingerprints,
         "doc_lang_id": q_doc_lang_id,
-        "doc_rolling_fp": q_doc_rolling_fp,
         "exact_dup_groups_seeded": q_exact_dup_groups_seeded,
         "minhash_dedup_pairs_seeded": q_minhash_dedup_pairs_seeded,
         "distinct_doc_count": q_distinct_doc_count,
@@ -425,7 +521,47 @@ def oracle_sql() -> dict[str, str]:
             r"'\w+|[^\w\s]')) AS BIGINT) AS n_bpe_tokens FROM documents"
         ),
         "doc_lang_id": _lang_id_oracle(),
-        # doc_rolling_fp: custom xxhash64 rolling hash -> rows-only
+        # rolling hash itself is custom xxhash64 math, but the seeded
+        # invariant (identical content <=> identical fingerprint) is a
+        # constant-by-construction pair set
+        "doc_rolling_fp_seeded": (
+            "SELECT doc_id AS doc_a, doc_id + 10000000 AS doc_b "
+            "FROM documents WHERE doc_id % 10 = 0"
+        ),
+        # ANN candidate sets are custom bucketing, but a planted exact
+        # duplicate always shares its query's bucket/cell and re-ranks
+        # at cosine 1.0 exactly -> the hit rows are SQL-predictable
+        "emb_lsh_planted_dup": (
+            "SELECT CAST(vec_id AS BIGINT) AS query_id, "
+            "CAST(vec_id + 10000000 AS BIGINT) AS dup_id, "
+            "CAST(1000000 AS BIGINT) AS score_u "
+            "FROM embeddings WHERE vec_id < 3"
+        ),
+        "emb_ivf_planted_dup": (
+            "SELECT CAST(vec_id AS BIGINT) AS query_id, "
+            "CAST(vec_id + 10000000 AS BIGINT) AS dup_id, "
+            "CAST(1000000 AS BIGINT) AS score_u "
+            "FROM embeddings WHERE vec_id < 3"
+        ),
+        # pure IEEE float64/float32 arithmetic: DuckDB reproduces the
+        # quantizer bit-exact (round() ties-away-from-zero both engines)
+        "emb_quantize_roundtrip": (
+            "WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e "
+            "FROM embeddings), "
+            "m AS (SELECT vec_id, e, "
+            "list_max(list_transform(e, x -> abs(x))) AS am FROM t) "
+            "SELECT vec_id, am / 127.0 AS scale, "
+            "CAST(CASE WHEN am = 0 THEN 0 ELSE round(e[1] * 127.0 / am) "
+            "END AS BIGINT) AS q0, "
+            "CAST(len(e) AS INTEGER) AS n_q, "
+            # d0 goes through the BIGINT cast first, mirroring the int8
+            # storage: round(-0.3) is -0.0 in DuckDB, but the stored
+            # byte is 0, so dequantize yields +0.0 — multiplying the
+            # un-cast double would leak the -0.0 sign into d0
+            "CAST(CAST(CAST(CASE WHEN am = 0 THEN 0 ELSE "
+            "round(e[1] * 127.0 / am) END AS BIGINT) * (am / 127.0) "
+            "AS FLOAT) AS DOUBLE) AS d0 FROM m"
+        ),
         "exact_dup_groups_seeded": (
             f"SELECT text, COUNT(*) AS dup_count FROM {_SEEDED_ORACLE_SRC} "
             "GROUP BY text HAVING COUNT(*) > 1"

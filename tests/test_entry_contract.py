@@ -38,8 +38,10 @@ def test_never_verified_ops_lead_the_window():
         "dedup_paragraphs_seeded",
         "ngram_jaccard_pairs",
         "emb_topk_vec0",
-        "emb_lsh_topk_vec0",
-        "emb_ivf_topk_vec0",
+        "emb_lsh_planted_dup",
+        "emb_ivf_planted_dup",
+        "doc_rolling_fp_seeded",
+        "emb_quantize_roundtrip",
         "simhash_near_dup_seeded",
         "dedup_keep_canonical_seeded",
         "emb_near_dup_pairs",
