@@ -2,9 +2,13 @@
 
 Image/audio/video travel as ``binary`` columns with a metadata struct;
 decode / feature-extraction run as Arrow-batched ``mapInPandas`` stages.
-The actual media decode is STUBBED (no image/audio libs in this
-container — clearly marked below); everything Spark-side — schema,
-batching, partitioning, UDF signatures — is real and tested.
+Uncompressed formats — binary PPM (P6) and 24-bit BI_RGB BMP — decode
+for REAL in pure NumPy (decode_image below); compressed formats
+(JPEG/PNG/audio/video codecs) remain honestly stubbed because the
+container has no imaging/codec libraries.  Everything Spark-side —
+schema, batching, partitioning, UDF signatures — is real and tested,
+and resize/features take the real pixel path when the payload magic
+parses.
 
 At scale: payloads dominate partition size, so re-chunk by bytes
 (``maxPartitionBytes``) not rows; metadata extraction is a narrow map.
@@ -67,14 +71,136 @@ def extract_metadata(media: DataFrame) -> DataFrame:
     return media.mapInPandas(fn, schema=MEDIA_META_SCHEMA)
 
 
+def _parse_ppm(b: bytes) -> "np.ndarray | None":
+    """Binary PPM (P6, maxval <= 255) -> HxWx3 uint8, pure NumPy.
+    Returns None when the payload is not a parseable P6 stream (so
+    callers can fall back); raises NotImplementedError for valid-but-
+    unsupported 16-bit maxval."""
+    if not b.startswith(b"P6"):
+        return None
+    try:
+        pos, vals = 2, []
+        while len(vals) < 3:
+            # skip whitespace and '#' comments between header tokens
+            while pos < len(b) and (b[pos : pos + 1].isspace() or b[pos] == 0x23):
+                if b[pos] == 0x23:  # comment to end of line
+                    nl = b.find(b"\n", pos)
+                    if nl < 0:
+                        return None
+                    pos = nl
+                pos += 1
+            start = pos
+            while pos < len(b) and b[pos : pos + 1].isdigit():
+                pos += 1
+            if pos == start:
+                return None
+            vals.append(int(b[start:pos]))
+        w, h, maxval = vals
+        if maxval > 255:
+            raise NotImplementedError("16-bit PPM (maxval > 255) unsupported")
+        if maxval <= 0 or w <= 0 or h <= 0:
+            return None
+        pos += 1  # exactly one whitespace byte after maxval
+        need = w * h * 3
+        if len(b) - pos < need:
+            return None
+        return (
+            np.frombuffer(b, dtype=np.uint8, count=need, offset=pos)
+            .reshape(h, w, 3)
+            .copy()
+        )
+    except NotImplementedError:
+        raise
+    except Exception:
+        return None
+
+
+def _parse_bmp(b: bytes) -> "np.ndarray | None":
+    """Uncompressed 24-bit BI_RGB BMP -> HxWx3 uint8 (RGB), pure NumPy.
+    Returns None for anything that does not parse as that shape; raises
+    NotImplementedError for valid BMPs with unsupported bpp/compression."""
+    if len(b) < 54 or not b.startswith(b"BM"):
+        return None
+    try:
+        data_off = int.from_bytes(b[10:14], "little")
+        dib = int.from_bytes(b[14:18], "little")
+        if dib < 40:
+            return None
+        w = int.from_bytes(b[18:22], "little", signed=True)
+        h = int.from_bytes(b[22:26], "little", signed=True)
+        bpp = int.from_bytes(b[28:30], "little")
+        comp = int.from_bytes(b[30:34], "little")
+        if w <= 0 or h == 0:
+            return None
+        if bpp != 24 or comp != 0:
+            raise NotImplementedError(
+                f"BMP bpp={bpp} compression={comp} unsupported (24-bit BI_RGB only)"
+            )
+        stride = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+        n_rows = abs(h)
+        if data_off + stride * n_rows > len(b):
+            return None
+        rows = np.frombuffer(
+            b, dtype=np.uint8, count=stride * n_rows, offset=data_off
+        ).reshape(n_rows, stride)[:, : w * 3].reshape(n_rows, w, 3)
+        if h > 0:  # bottom-up storage
+            rows = rows[::-1]
+        return rows[:, :, ::-1].copy()  # BGR -> RGB
+    except NotImplementedError:
+        raise
+    except Exception:
+        return None
+
+
 def decode_image(payload: bytes) -> "np.ndarray":
-    """STUB: real image decode requires PIL/libjpeg, absent from this
-    container.  The Spark-side contract (binary in, HxWxC array out)
-    is what the pipeline tests exercise via `fake_features`."""
+    """Decode an image payload to an HxWx3 uint8 RGB array.
+
+    Real, pure-NumPy decoders for the uncompressed formats this
+    container can handle without an imaging library: binary PPM (P6)
+    and 24-bit BI_RGB BMP.  Compressed formats (JPEG/PNG/WebP) still
+    raise — libjpeg/PIL are absent here; the Spark-side contract
+    (binary in, HxWxC array out) is identical either way."""
+    b = bytes(payload)
+    img = _parse_ppm(b)
+    if img is None:
+        img = _parse_bmp(b)
+    if img is not None:
+        return img
     raise NotImplementedError(
-        "image decode requires an imaging library not present in this "
-        "environment; use fake_features() for pipeline testing"
+        "only PPM(P6) and 24-bit BMP decode natively; compressed formats "
+        "(JPEG/PNG/...) require an imaging library not present in this "
+        "environment — use fake_features() for pipeline testing"
     )
+
+
+def encode_ppm(img: "np.ndarray") -> bytes:
+    """HxWx3 uint8 -> binary PPM (P6) bytes — the inverse of
+    decode_image's PPM path, used to keep resize output self-describing
+    (resized images can be decoded again downstream)."""
+    arr = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w = arr.shape[0], arr.shape[1]
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
+
+
+def _resize_nearest(img: "np.ndarray", width: int, height: int) -> "np.ndarray":
+    """Nearest-neighbor resample to (height, width, 3) — index-grid
+    fancy indexing, no Python loops."""
+    rows = (np.arange(height) * img.shape[0]) // height
+    cols = (np.arange(width) * img.shape[1]) // width
+    return img[rows][:, cols]
+
+
+def _try_decode(b: bytes) -> "np.ndarray | None":
+    """decode_image that returns None instead of raising, for the
+    magic-gated real path inside the batched UDFs (unparseable or
+    compressed payloads fall back to the deterministic stand-in)."""
+    try:
+        img = _parse_ppm(b)
+        if img is None:
+            img = _parse_bmp(b)
+        return img
+    except NotImplementedError:
+        return None
 
 
 RESIZE_SCHEMA = T.StructType(
@@ -89,11 +215,13 @@ RESIZE_SCHEMA = T.StructType(
 
 def resize_images(media: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
     """Resize stage: binary in -> resized binary + dims out, Arrow-
-    batched.  The pixel work is a deterministic stand-in (strided byte
-    subsample — no imaging lib in this container, same stub policy as
-    decode_image); schema, batching and UDF signature are exactly what
-    a PIL/libvips-backed resize would use, so swapping the kernel is a
-    one-function change."""
+    batched.  Payloads whose magic parses as PPM(P6)/24-bit BMP take the
+    REAL path: decode -> nearest-neighbor resample -> re-encode as P6
+    (self-describing, so resize output composes with decode_image
+    downstream).  Anything else keeps the deterministic byte-level
+    stand-in (strided subsample / zero-pad) — same schema, batching and
+    UDF signature a PIL/libvips-backed resize would use, so swapping in
+    a compressed-format kernel is a one-function change."""
     target = width * height
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -101,7 +229,10 @@ def resize_images(media: DataFrame, width: int = 64, height: int = 64) -> DataFr
             outs = []
             for p in pdf["payload"]:
                 b = bytes(p)
-                if len(b) >= target:
+                img = _try_decode(b)
+                if img is not None:
+                    outs.append(encode_ppm(_resize_nearest(img, width, height)))
+                elif len(b) >= target:
                     stride = len(b) // target
                     arr = np.frombuffer(b, dtype=np.uint8)[: stride * target]
                     outs.append(arr[::stride][:target].tobytes())
@@ -160,16 +291,34 @@ def sample_frames(
     return media.select("doc_id", "payload").mapInPandas(fn, schema=FRAME_SCHEMA)
 
 
+def image_stats_features(img: "np.ndarray") -> "np.ndarray":
+    """Real features for a decoded image: per-channel mean and std
+    (normalized to [0,1]) + log-scaled dims — the classic cheap visual
+    descriptor; float32, length 8, like the stand-in."""
+    px = img.astype(np.float64) / 255.0
+    means = px.mean(axis=(0, 1))
+    stds = px.std(axis=(0, 1))
+    dims = np.log1p([img.shape[0], img.shape[1]]) / 10.0
+    return np.concatenate([means, stds, dims]).astype(np.float32)
+
+
 def fake_features(media: DataFrame, dim: int = 8) -> DataFrame:
-    """Deterministic stand-in feature extractor: fixed-dim float vector
-    derived from payload bytes (sha256-seeded) — exercises the exact
-    batch shape / signature a real encoder UDF would have."""
+    """Feature extractor: payloads that decode as PPM/BMP get REAL
+    image-statistics features (per-channel mean/std + dims); everything
+    else keeps the deterministic sha256-seeded stand-in vector — both
+    fixed-dim float32 through the exact batch shape / signature a real
+    encoder UDF would have."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = []
             for p in pdf["payload"]:
-                digest = hashlib.sha256(bytes(p)).digest()
+                b = bytes(p)
+                img = _try_decode(b) if dim == 8 else None
+                if img is not None:
+                    feats.append(image_stats_features(img).tolist())
+                    continue
+                digest = hashlib.sha256(b).digest()
                 arr = np.frombuffer(digest[: dim * 4], dtype="<u4").astype(np.float32)
                 feats.append((arr / np.float32(2**32)).tolist())
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})

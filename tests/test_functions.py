@@ -485,3 +485,120 @@ def test_lloyd_partials_one_row_set_per_task(spark):
     # config, fixed per run) but not the math: same result to ~ulp
     other = similarity._lloyd_step(df, cents)
     assert np.allclose(new, other, rtol=1e-12)
+
+
+def _make_bmp(img):
+    """Hand-rolled 24-bit BI_RGB BMP (bottom-up, BGR, 4-byte row pad)."""
+    import numpy as np
+
+    h, w = img.shape[0], img.shape[1]
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)
+    pixels = rows.tobytes()
+    header = (
+        b"BM"
+        + (54 + len(pixels)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(pixels).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    return header + pixels
+
+
+def test_decode_image_ppm_bmp_real(spark):
+    """Real pure-NumPy image decode (round-5 item: one real format
+    end-to-end): PPM(P6) round-trips bit-exact, BMP of the same pixels
+    decodes to the same array (BGR->RGB + bottom-up + row-pad handled),
+    comments in the PPM header parse, compressed formats still raise."""
+    import numpy as np
+    import pytest as _pytest
+
+    from parquetjs_spark.functions import multimodal
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    ppm = multimodal.encode_ppm(img)
+    assert np.array_equal(multimodal.decode_image(ppm), img)
+    # header comments + arbitrary whitespace
+    commented = b"P6 # comment\n# another\n 7\t5 # dims\n255\n" + img.tobytes()
+    assert np.array_equal(multimodal.decode_image(commented), img)
+    assert np.array_equal(multimodal.decode_image(_make_bmp(img)), img)
+    with _pytest.raises(NotImplementedError, match="imaging library"):
+        multimodal.decode_image(b"\x89PNG\r\n\x1a\n garbage")
+    with _pytest.raises(NotImplementedError, match="maxval"):
+        multimodal.decode_image(b"P6\n2 2\n65535\n" + b"\x00" * 24)
+
+
+def test_resize_images_real_path_pinned(spark):
+    """decode -> nearest-neighbor resize -> P6 re-encode through the
+    Spark UDF, pixel output pinned against a NumPy reference; text
+    payloads in the same batch keep the byte-level stand-in."""
+    import numpy as np
+
+    from parquetjs_spark.functions import multimodal
+
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, size=(6, 10, 3), dtype=np.uint8)
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(multimodal.encode_ppm(img)), "image/x-portable-pixmap"),
+            (2, bytearray(_make_bmp(img)), "image/bmp"),
+            (3, bytearray(b"just text, no magic"), "text/plain"),
+        ],
+        "doc_id long, payload binary, media_type string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in multimodal.resize_images(media, width=4, height=3).collect()
+    }
+    rows = (np.arange(3) * 6) // 3
+    cols = (np.arange(4) * 10) // 4
+    want = multimodal.encode_ppm(img[rows][:, cols])
+    assert bytes(out[1]["payload"]) == want
+    assert bytes(out[2]["payload"]) == want  # BMP decodes to same pixels
+    assert out[1]["width"] == 4 and out[1]["height"] == 3
+    # resized output is itself decodable (P6 self-describing)
+    rt = multimodal.decode_image(bytes(out[1]["payload"]))
+    assert rt.shape == (3, 4, 3)
+    # the text payload took the pad/stand-in branch, not a PPM header
+    assert not bytes(out[3]["payload"]).startswith(b"P6")
+
+
+def test_features_real_path_for_images(spark):
+    """PPM payloads get real channel-statistics features; text payloads
+    keep the sha256 stand-in (magic-gated — the driver oracle depends
+    on the sha path for text)."""
+    import numpy as np
+
+    from parquetjs_spark.functions import multimodal
+
+    img = np.full((4, 4, 3), 255, dtype=np.uint8)
+    img[:, :, 1] = 0  # G=0: means (1, 0, 1), stds 0
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(multimodal.encode_ppm(img)), "image/x-portable-pixmap"),
+            (2, bytearray(b"plain text payload"), "text/plain"),
+        ],
+        "doc_id long, payload binary, media_type string",
+    )
+    out = {r["doc_id"]: r["features"] for r in multimodal.fake_features(media).collect()}
+    f1 = np.asarray(out[1])
+    assert f1.shape == (8,)
+    assert np.allclose(f1[:3], [1.0, 0.0, 1.0])
+    assert np.allclose(f1[3:6], 0.0)
+    import hashlib as _hl
+
+    digest = _hl.sha256(b"plain text payload").digest()
+    want = (
+        np.frombuffer(digest[:32], dtype="<u4").astype(np.float32)
+        / np.float32(2**32)
+    )
+    assert np.allclose(np.asarray(out[2]), want)
