@@ -11,6 +11,8 @@ Subcommands:
     encode        parquet table -> blob+manifest tables (resumable)
     decode        blob table + column -> parquet of values
     decode-table  blob table -> parquet of the original rows (cursor analogue)
+    scan/where    pruned scans (zone maps + blooms, compound predicates)
+    stats         pruning observability: chunks kept vs total per predicate
     verify        blob table -> per-chunk sha256 bit-identity report
 """
 
@@ -170,27 +172,77 @@ def cmd_scan(args) -> int:
 
 
 def _typed_literal(dtype: str, raw: str):
-    """CLI string literal -> typed value for the scan predicates;
-    date/timestamp ISO strings pass through (scan normalizes them)."""
-    if dtype in ("int64", "int32"):
-        return int(raw)
-    if dtype in ("float64", "float32"):
-        return float(raw)
+    """CLI string literal -> typed value for the scan predicates, with
+    validation: a bound that cannot represent the column dtype errors
+    out (exit 2) instead of casting to null and silently matching
+    nothing (round-4 ADVICE)."""
+    try:
+        if dtype in ("int64", "int32"):
+            return int(raw)
+        if dtype in ("float64", "float32"):
+            return float(raw)
+        if dtype == "date" or dtype.startswith("timestamp"):
+            import datetime as _dt
+
+            # ISO parse check only; the scan normalizes the string
+            if dtype == "date":
+                _dt.date.fromisoformat(raw)
+            else:
+                _dt.datetime.fromisoformat(raw)
+            return raw
+    except ValueError:
+        print(
+            f"error: literal {raw!r} does not parse as {dtype}",
+            file=sys.stderr,
+        )
+        raise SystemExit(2)
     return raw
 
 
-def cmd_where(args) -> int:
-    """Compound-predicate scan: --range COL:LO:HI (repeatable, empty
-    bound = open) + --eq COL=VALUE (repeatable) -> one pruned decode."""
-    from pyspark.sql import functions as F
+def _parse_predicates(args, dtype_of):
+    """Shared --range/--eq/--is-null parsing for `where` and `stats`.
 
-    from parquetjs_spark import pipeline
+    --range accepts COL:LO..HI (bounds may contain ':', e.g. timestamp
+    time-of-day) or the legacy COL:LO:HI when neither bound has a
+    colon; an ambiguous colon count errors out instead of garbling the
+    hi bound (round-4 ADVICE)."""
+    ranges = {}
+    for spec in args.range or []:
+        col, _, rest = spec.partition(":")
+        if not rest and ".." not in spec:
+            print(f"error: bad --range {spec!r} (COL:LO..HI)", file=sys.stderr)
+            raise SystemExit(2)
+        if ".." in rest:
+            lo, _, hi = rest.partition("..")
+        else:
+            parts = rest.split(":")
+            if len(parts) != 2:
+                print(
+                    f"error: ambiguous --range {spec!r}: bounds containing "
+                    "':' need the COL:LO..HI form",
+                    file=sys.stderr,
+                )
+                raise SystemExit(2)
+            lo, hi = parts
+        dt = dtype_of(col)
+        ranges[col] = (
+            _typed_literal(dt, lo) if lo else None,
+            _typed_literal(dt, hi) if hi else None,
+        )
+    eqs = {}
+    for spec in args.eq or []:
+        col, raw = spec.split("=", 1)
+        eqs[col] = _typed_literal(dtype_of(col), raw)
+    for col in getattr(args, "is_null", None) or []:
+        dtype_of(col)  # existence check
+        eqs[col] = None  # scan_eq(col, None) = IS NULL via n_nulls stat
+    return ranges, eqs
 
-    spark = _spark(args)
-    blobs = pipeline.read_encoded(spark, args.input)
+
+def _manifest_dtypes(spark, pipeline, path):
     dtypes = {
         r["column"]: r["dtype"]
-        for r in pipeline.read_manifest(spark, args.input)
+        for r in pipeline.read_manifest(spark, path)
         .select("column", "dtype")
         .distinct()
         .collect()
@@ -202,23 +254,42 @@ def cmd_where(args) -> int:
             raise SystemExit(2)
         return dtypes[col]
 
-    ranges = {}
-    for spec in args.range or []:
-        col, lo, hi = spec.split(":", 2)
-        dt = dtype_of(col)
-        ranges[col] = (
-            _typed_literal(dt, lo) if lo else None,
-            _typed_literal(dt, hi) if hi else None,
-        )
-    eqs = {}
-    for spec in args.eq or []:
-        col, raw = spec.split("=", 1)
-        eqs[col] = _typed_literal(dtype_of(col), raw)
+    return dtype_of
+
+
+def cmd_where(args) -> int:
+    """Compound-predicate scan: --range COL:LO..HI (repeatable, empty
+    bound = open) + --eq COL=VALUE + --is-null COL -> one pruned decode."""
+    from parquetjs_spark import pipeline
+
+    spark = _spark(args)
+    blobs = pipeline.read_encoded(spark, args.input)
+    dtype_of = _manifest_dtypes(spark, pipeline, args.input)
+    ranges, eqs = _parse_predicates(args, dtype_of)
     cols = args.columns.split(",") if args.columns else None
     out = pipeline.scan_table_where(blobs, ranges=ranges, eqs=eqs, columns=cols)
     out.write.mode("overwrite").parquet(args.output)
     print(json.dumps({"rows": spark.read.parquet(args.output).count(),
                       "columns": out.columns}))
+    return 0
+
+
+def cmd_stats(args) -> int:
+    """Pruning observability (scan_stats): chunks kept vs total per
+    predicate from pure metadata — what a scan WOULD prune, priced
+    before paying for any decode."""
+    from parquetjs_spark import pipeline
+
+    spark = _spark(args)
+    blobs = pipeline.read_encoded(spark, args.input)
+    dtype_of = _manifest_dtypes(spark, pipeline, args.input)
+    ranges, eqs = _parse_predicates(args, dtype_of)
+    if not ranges and not eqs:
+        print("error: stats needs at least one --range/--eq/--is-null",
+              file=sys.stderr)
+        return 2
+    for r in pipeline.scan_stats(blobs, ranges=ranges, eqs=eqs).collect():
+        print(json.dumps(r.asDict()))
     return 0
 
 
@@ -315,23 +386,38 @@ def main(argv: list[str] | None = None) -> int:
     ps.add_argument("--output", required=True)
     ps.set_defaults(fn=cmd_scan)
 
+    def _pred_args(sp):
+        sp.add_argument(
+            "--range",
+            action="append",
+            metavar="COL:LO..HI",
+            help="range predicate (repeatable; empty LO/HI = open bound; "
+            "legacy COL:LO:HI accepted when bounds are colon-free)",
+        )
+        sp.add_argument(
+            "--eq",
+            action="append",
+            metavar="COL=VALUE",
+            help="equality predicate (repeatable; bloom + zone-map pruned)",
+        )
+        sp.add_argument(
+            "--is-null",
+            action="append",
+            metavar="COL",
+            help="IS NULL predicate (repeatable; n_nulls-stat pruned)",
+        )
+
     pw = sub.add_parser("where")
     pw.add_argument("--input", required=True)
-    pw.add_argument(
-        "--range",
-        action="append",
-        metavar="COL:LO:HI",
-        help="range predicate (repeatable; empty LO/HI = open bound)",
-    )
-    pw.add_argument(
-        "--eq",
-        action="append",
-        metavar="COL=VALUE",
-        help="equality predicate (repeatable; bloom + zone-map pruned)",
-    )
+    _pred_args(pw)
     pw.add_argument("--columns", default=None, help="projection (comma-sep)")
     pw.add_argument("--output", required=True)
     pw.set_defaults(fn=cmd_where)
+
+    pst = sub.add_parser("stats")
+    pst.add_argument("--input", required=True)
+    _pred_args(pst)
+    pst.set_defaults(fn=cmd_stats)
 
     pv = sub.add_parser("verify")
     pv.add_argument("--input", required=True)

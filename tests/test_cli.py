@@ -1,0 +1,121 @@
+"""In-process CLI coverage: stats subcommand, range-spec parsing
+(timestamp bounds with colons), literal validation, IS NULL syntax.
+The spark-submit surface itself is exercised by the verify recipe;
+these run main() against the session SparkSession (getOrCreate)."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from parquetjs_spark import cli, pipeline
+
+
+@pytest.fixture(scope="module")
+def encoded_events(tmp_path_factory, spark):
+    """A small table with int, string and timestamp columns, encoded."""
+    tmp = tmp_path_factory.mktemp("cli")
+    src = str(tmp / "src.parquet")
+    enc = str(tmp / "enc")
+    df = spark.createDataFrame(
+        [
+            (
+                i,
+                "k%d" % (i % 5),
+                "2020-01-0%d 0%d:30:00" % (1 + i % 7, i % 10),
+                None if i % 3 == 0 else "v%d" % i,
+            )
+            for i in range(200)
+        ],
+        "rid long, k string, ts_s string, maybe string",
+    ).select(
+        "rid", "k", F.to_timestamp("ts_s").alias("ts"), "maybe"
+    ).orderBy("rid")
+    df.coalesce(2).write.parquet(src)
+    rc = cli.main(["encode", "--input", src, "--output", enc,
+                   "--chunk-rows", "64"])
+    assert rc == 0
+    return enc
+
+
+def _parse_lines(capsys):
+    return [json.loads(line) for line in
+            capsys.readouterr().out.strip().splitlines() if line.startswith("{")]
+
+
+def test_stats_subcommand_reports_pruning(encoded_events, capsys):
+    rc = cli.main([
+        "stats", "--input", encoded_events,
+        "--range", "rid:0..50",
+        "--eq", "k=k1",
+        "--is-null", "maybe",
+    ])
+    assert rc == 0
+    rows = {(r["column"], r["kind"]): r for r in _parse_lines(capsys)}
+    rid = rows[("rid", "range")]
+    assert rid["chunks_total"] > rid["chunks_kept"] > 0  # zone maps prune
+    assert rows[("k", "eq")]["chunks_total"] >= rows[("k", "eq")]["chunks_kept"]
+    assert rows[("maybe", "eq")]["chunks_kept"] > 0
+
+
+def test_stats_requires_a_predicate(encoded_events, capsys):
+    assert cli.main(["stats", "--input", encoded_events]) == 2
+
+
+def test_where_timestamp_range_with_colons(encoded_events, tmp_path, spark, capsys):
+    """The round-4 ADVICE bug: COL:LO:HI split garbled time-of-day
+    colons into a null bound -> silent zero rows.  The COL:LO..HI form
+    must scan correctly."""
+    out = str(tmp_path / "out")
+    rc = cli.main([
+        "where", "--input", encoded_events,
+        "--range", "ts:2020-01-01T00:00:00..2020-01-02T23:59:59",
+        "--columns", "rid,ts",
+        "--output", out,
+    ])
+    assert rc == 0
+    got = _parse_lines(capsys)[-1]
+    want = spark.read.parquet(encoded_events + "/../src.parquet").where(
+        F.col("ts").between("2020-01-01 00:00:00", "2020-01-02 23:59:59")
+    ).count()
+    assert got["rows"] == want > 0
+
+
+def test_where_ambiguous_colon_range_errors(encoded_events, tmp_path):
+    with pytest.raises(SystemExit) as e:
+        cli.main([
+            "where", "--input", encoded_events,
+            "--range", "ts:2020-01-01T10:30:00:2020-01-02T00:00:00",
+            "--output", str(tmp_path / "o"),
+        ])
+    assert e.value.code == 2
+
+
+def test_where_bad_literal_errors(encoded_events, tmp_path):
+    with pytest.raises(SystemExit) as e:
+        cli.main([
+            "where", "--input", encoded_events,
+            "--range", "rid:abc..10",
+            "--output", str(tmp_path / "o"),
+        ])
+    assert e.value.code == 2
+    with pytest.raises(SystemExit) as e:
+        cli.main([
+            "where", "--input", encoded_events,
+            "--range", "ts:not-a-time..",
+            "--output", str(tmp_path / "o"),
+        ])
+    assert e.value.code == 2
+
+
+def test_where_is_null_scan(encoded_events, tmp_path, capsys):
+    out = str(tmp_path / "nulls")
+    rc = cli.main([
+        "where", "--input", encoded_events,
+        "--is-null", "maybe",
+        "--columns", "rid,maybe",
+        "--output", out,
+    ])
+    assert rc == 0
+    got = _parse_lines(capsys)[-1]
+    assert got["rows"] == 67  # i % 3 == 0 for i in range(200)
