@@ -133,8 +133,11 @@ def _strblock_from_pa(arr: pa.Array) -> StrBlock:
     bufs = arr.buffers()
     if len(arr) == 0 or bufs[1] is None:
         # empty child (e.g. every list in the chunk null/empty): pyarrow
-        # may hand back a zero-length or absent offsets buffer
-        return StrBlock(b"", np.zeros(1, dtype=np.int64))
+        # may hand back a zero-length or absent offsets buffer.  An
+        # absent offsets buffer with len(arr) > 0 means len(arr)
+        # all-empty values — NOT zero values (returning 0 strings there
+        # would silently lose rows; round-4 ADVICE)
+        return StrBlock(b"", np.zeros(len(arr) + 1, dtype=np.int64))
     offsets = np.frombuffer(bufs[1], dtype=off_dtype, count=len(arr) + 1 + arr.offset)[
         arr.offset :
     ].astype(np.int64)
@@ -499,9 +502,11 @@ def _split_list(arr: pa.Array):
     if len(nn) == 0 or nn.buffers()[1] is None:
         # pyarrow SEGFAULTS flattening a list array whose offsets buffer
         # is absent — IPC delivers such arrays for empty children (e.g.
-        # the 2nd+ nesting level of a chunk holding only empty lists)
+        # the 2nd+ nesting level of a chunk holding only empty lists).
+        # With len(nn) > 0 that layout means len(nn) all-EMPTY lists:
+        # return one zero-length per row, not zero rows (round-4 ADVICE)
         return (
-            np.zeros(0, dtype=np.int64),
+            np.zeros(len(nn), dtype=np.int64),
             pa.array([], type=nn.type.value_type),
             valid,
         )

@@ -230,3 +230,51 @@ def test_int64_extremes_and_float_specials_roundtrip():
     assert struct.pack("<d", got[3]) == struct.pack("<d", -0.0)
     assert got[4] == 1.5 and got[5] is None
     assert arrow_chunk.verify_arrow(blob, stats["sha256"])
+
+
+class _NoOffsetsArray:
+    """Stand-in for the IPC edge layout pyarrow can produce but
+    from_buffers refuses to build: non-empty array, absent offsets
+    buffer (all values empty)."""
+
+    def __init__(self, n, typ):
+        self._n = n
+        self.type = typ
+        self.offset = 0
+        self.null_count = 0
+
+    def __len__(self):
+        return self._n
+
+    def buffers(self):
+        return [None, None, None]
+
+
+def test_strblock_absent_offsets_nonempty_means_all_empty():
+    """bufs[1] is None with len(arr) > 0 must yield len(arr) EMPTY
+    strings, not zero strings (round-4 ADVICE: the conflated guard
+    silently lost rows)."""
+    import pyarrow as pa
+
+    block = arrow_chunk._strblock_from_pa(_NoOffsetsArray(5, pa.utf8()))
+    assert len(block.lens) == 5
+    assert list(block.lens) == [0] * 5
+    assert bytes(block.concat_bytes()) == b""
+    # the genuinely-empty case still yields zero values
+    empty = arrow_chunk._strblock_from_pa(_NoOffsetsArray(0, pa.utf8()))
+    assert len(empty.lens) == 0
+
+
+def test_split_list_absent_offsets_nonempty_means_all_empty():
+    import pyarrow as pa
+
+    lens, flat, valid = arrow_chunk._split_list(
+        _NoOffsetsArray(4, pa.list_(pa.int64()))
+    )
+    assert list(lens) == [0, 0, 0, 0]
+    assert len(flat) == 0
+    assert list(valid) == [True] * 4
+    lens0, flat0, _ = arrow_chunk._split_list(
+        _NoOffsetsArray(0, pa.list_(pa.int64()))
+    )
+    assert len(lens0) == 0 and len(flat0) == 0

@@ -109,3 +109,36 @@ def test_dedup_stream_across_batches_and_restart(tmp_path, spark):
     run()
     got2 = sorted(r["text"] for r in spark.read.parquet(str(out_dir)).collect())
     assert got2 == ["alpha", "beta", "delta", "gamma"]
+
+
+def test_dedup_stream_key_modes(tmp_path, spark):
+    """hash64 / exact key modes dedup the same corpus; bad mode raises.
+    (hash128 is the default exercised by the restart test above.)"""
+    import pytest as _pt
+
+    from parquetjs_spark.streaming import dedup_stream
+
+    schema = "doc_id long, text string"
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "a"), (4, "c"), (5, "b")], schema
+    )
+    src = tmp_path / "in_m"
+    df.write.mode("overwrite").parquet(str(src))
+    for mode in ("hash64", "exact"):
+        out = tmp_path / f"out_{mode}"
+        ck = tmp_path / f"ck_{mode}"
+        stream = spark.readStream.schema(df.schema).parquet(str(src))
+        q = dedup_stream(
+            stream, str(out), str(ck), key_cols=("text",),
+            trigger_once=True, key_mode=mode,
+        )
+        q.awaitTermination(120)
+        got = sorted(r["text"] for r in spark.read.parquet(str(out)).collect())
+        assert got == ["a", "b", "c"], mode
+        # exact mode keeps the key columns in the output unchanged
+        cols = spark.read.parquet(str(out)).columns
+        assert set(cols) == {"doc_id", "text"}
+    with _pt.raises(ValueError, match="key_mode"):
+        stream = spark.readStream.schema(df.schema).parquet(str(src))
+        dedup_stream(stream, str(tmp_path / "x"), str(tmp_path / "ckx"),
+                     key_mode="nope")
