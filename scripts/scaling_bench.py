@@ -162,6 +162,20 @@ def main():
     print(json.dumps(result))
 
     os.makedirs("/root/repo/BENCH", exist_ok=True)
+    # preserve hand-written run notes (draw discards, attributions)
+    # appended after the marker — regenerating the tables must not
+    # destroy the measurement-hygiene history
+    marker = (
+        "<!-- MANUAL NOTES BELOW: preserved across "
+        "scaling_bench.py regenerations -->"
+    )
+    manual_tail = ""
+    try:
+        old = open("/root/repo/BENCH/BASELINE.md").read()
+        if marker in old:
+            manual_tail = "\n" + marker + old.split(marker, 1)[1]
+    except FileNotFoundError:
+        pass
     with open("/root/repo/BENCH/BASELINE.md", "w") as f:
         f.write(
             f"""# BENCH/BASELINE — two-cluster-size scaling evidence
@@ -220,6 +234,7 @@ measurement.
 
 Total sha mismatches across all four runs: {a['sha_mismatches'] + b['sha_mismatches']}.
 """
+            + manual_tail
         )
     print("wrote /root/repo/BENCH/BASELINE.md")
 
