@@ -203,6 +203,107 @@ def _try_decode(b: bytes) -> "np.ndarray | None":
         return None
 
 
+# --- audio: real pure-NumPy decode for uncompressed PCM WAV ------------------
+
+
+def decode_audio(payload: bytes) -> "tuple[np.ndarray, int]":
+    """Decode an audio payload to (samples[n, channels] int16,
+    sample_rate).
+
+    Real decoder for the format this container can handle without codec
+    libraries: RIFF/WAVE, 16-bit integer PCM (format tag 1).  The RIFF
+    chunk walk skips unknown chunks (LIST/fact/cue) like any compliant
+    reader.  Compressed audio (MP3/AAC/Opus/float WAV) raises — same
+    honest-stub policy as compressed images."""
+    b = bytes(payload)
+    if len(b) < 44 or b[0:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "only RIFF/WAVE 16-bit PCM decodes natively; compressed audio "
+            "requires codec libraries not present in this environment"
+        )
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        size = int.from_bytes(b[pos + 4 : pos + 8], "little")
+        body = b[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None or len(fmt) < 16:
+        raise ValueError("WAV missing fmt/data chunk")
+    tag = int.from_bytes(fmt[0:2], "little")
+    channels = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if tag != 1 or bits != 16:
+        raise NotImplementedError(
+            f"WAV format tag={tag} bits={bits} unsupported (16-bit PCM only)"
+        )
+    if channels < 1:
+        raise ValueError("WAV channels < 1")
+    n = len(data) // (2 * channels)
+    samples = (
+        np.frombuffer(data, dtype="<i2", count=n * channels)
+        .reshape(n, channels)
+        .copy()
+    )
+    return samples, rate
+
+
+def encode_wav(samples: "np.ndarray", sample_rate: int) -> bytes:
+    """(n, channels) int16 -> RIFF/WAVE 16-bit PCM bytes — the inverse
+    of decode_audio's PCM path."""
+    arr = np.ascontiguousarray(samples, dtype="<i2")
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    channels = arr.shape[1]
+    data = arr.tobytes()
+    byte_rate = sample_rate * channels * 2
+    fmt = (
+        (1).to_bytes(2, "little")
+        + channels.to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little")
+        + byte_rate.to_bytes(4, "little")
+        + (channels * 2).to_bytes(2, "little")
+        + (16).to_bytes(2, "little")
+    )
+    body = b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    body += b"data" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def audio_stats_features(samples: "np.ndarray", rate: int) -> "np.ndarray":
+    """Real features for decoded PCM: normalized RMS, peak, zero-crossing
+    rate (first channel), duration, channel count and log sample rate —
+    the classic cheap audio descriptor; float32, length 8 like the
+    stand-in."""
+    x = samples.astype(np.float64) / 32768.0
+    mono = x[:, 0] if x.size else np.zeros(1)
+    rms = float(np.sqrt(np.mean(x**2))) if x.size else 0.0
+    peak = float(np.abs(x).max()) if x.size else 0.0
+    zcr = (
+        float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+        if len(mono) > 1
+        else 0.0
+    )
+    dur = samples.shape[0] / rate if rate else 0.0
+    return np.asarray(
+        [
+            rms,
+            peak,
+            zcr,
+            np.log1p(dur) / 10.0,
+            samples.shape[1] / 16.0,
+            np.log1p(rate) / 12.0,
+            float(np.mean(mono)),
+            float(np.std(mono)),
+        ],
+        dtype=np.float32,
+    )
+
+
 RESIZE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -304,20 +405,31 @@ def image_stats_features(img: "np.ndarray") -> "np.ndarray":
 
 def fake_features(media: DataFrame, dim: int = 8) -> DataFrame:
     """Feature extractor: payloads that decode as PPM/BMP get REAL
-    image-statistics features (per-channel mean/std + dims); everything
-    else keeps the deterministic sha256-seeded stand-in vector — both
-    fixed-dim float32 through the exact batch shape / signature a real
-    encoder UDF would have."""
+    image-statistics features (per-channel mean/std + dims) and
+    RIFF/WAVE PCM payloads get REAL audio statistics (RMS/peak/ZCR/
+    duration); everything else keeps the deterministic sha256-seeded
+    stand-in vector — all fixed-dim float32 through the exact batch
+    shape / signature a real encoder UDF would have."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = []
             for p in pdf["payload"]:
                 b = bytes(p)
-                img = _try_decode(b) if dim == 8 else None
-                if img is not None:
-                    feats.append(image_stats_features(img).tolist())
-                    continue
+                if dim == 8:
+                    img = _try_decode(b)
+                    if img is not None:
+                        feats.append(image_stats_features(img).tolist())
+                        continue
+                    if b[0:4] == b"RIFF" and b[8:12] == b"WAVE":
+                        try:
+                            samples, rate = decode_audio(b)
+                            feats.append(
+                                audio_stats_features(samples, rate).tolist()
+                            )
+                            continue
+                        except (NotImplementedError, ValueError):
+                            pass  # compressed/odd WAV: stand-in below
                 digest = hashlib.sha256(b).digest()
                 arr = np.frombuffer(digest[: dim * 4], dtype="<u4").astype(np.float32)
                 feats.append((arr / np.float32(2**32)).tolist())

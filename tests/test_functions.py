@@ -602,3 +602,57 @@ def test_features_real_path_for_images(spark):
         / np.float32(2**32)
     )
     assert np.allclose(np.asarray(out[2]), want)
+
+
+def test_decode_audio_wav_pcm_real(spark):
+    """Real pure-NumPy WAV decode: 16-bit PCM round-trips bit-exact
+    through encode_wav/decode_audio (incl. stereo + unknown RIFF chunks
+    skipped); compressed/float formats raise."""
+    import numpy as np
+    import pytest as _pytest
+
+    from parquetjs_spark.functions import multimodal
+
+    rng = np.random.default_rng(17)
+    mono = rng.integers(-32768, 32767, size=(500, 1), dtype=np.int16)
+    stereo = rng.integers(-32768, 32767, size=(300, 2), dtype=np.int16)
+    for arr, rate in ((mono, 16000), (stereo, 44100)):
+        wav = multimodal.encode_wav(arr, rate)
+        out, r = multimodal.decode_audio(wav)
+        assert r == rate and np.array_equal(out, arr)
+    # a LIST chunk between fmt and data must be skipped (word-aligned)
+    wav = multimodal.encode_wav(mono, 8000)
+    fmt_end = 12 + 8 + 16
+    extra = b"LIST" + (5).to_bytes(4, "little") + b"INFOx" + b"\x00"
+    patched = wav[:fmt_end] + extra + wav[fmt_end:]
+    patched = b"RIFF" + (len(patched) - 8).to_bytes(4, "little") + patched[8:]
+    out, r = multimodal.decode_audio(patched)
+    assert r == 8000 and np.array_equal(out, mono)
+    with _pytest.raises(NotImplementedError, match="compressed audio"):
+        multimodal.decode_audio(b"\xff\xfb\x90\x00 mp3 frame junk")
+    # float WAV (format tag 3) is valid-but-unsupported
+    bad = bytearray(multimodal.encode_wav(mono, 8000))
+    bad[20:22] = (3).to_bytes(2, "little")
+    with _pytest.raises(NotImplementedError, match="tag=3"):
+        multimodal.decode_audio(bytes(bad))
+
+
+def test_features_real_path_for_audio(spark):
+    """WAV payloads get real audio-statistics features; a constant
+    full-scale square wave pins RMS=1, peak=1, ZCR=1."""
+    import numpy as np
+
+    from parquetjs_spark.functions import multimodal
+
+    sq = np.empty((400, 1), dtype=np.int16)
+    sq[0::2, 0] = -32768
+    sq[1::2, 0] = 32767
+    media = spark.createDataFrame(
+        [(1, bytearray(multimodal.encode_wav(sq, 16000)), "audio/wav")],
+        "doc_id long, payload binary, media_type string",
+    )
+    f = np.asarray(multimodal.fake_features(media).collect()[0]["features"])
+    assert f.shape == (8,)
+    assert abs(f[0] - 1.0) < 1e-4  # RMS ~ 1 (full-scale)
+    assert abs(f[1] - 1.0) < 1e-4  # peak
+    assert abs(f[2] - 1.0) < 1e-4  # zero-crossing every sample
