@@ -293,6 +293,35 @@ def cmd_stats(args) -> int:
     return 0
 
 
+def cmd_meta(args) -> int:
+    """Read the footer analogues without touching blob bytes: user KV
+    metadata, sha-format marker, and a per-column manifest rollup."""
+    from pyspark.sql import functions as F
+
+    from parquetjs_spark import pipeline
+
+    spark = _spark(args)
+    out = {
+        "metadata": pipeline.read_metadata(spark, args.input),
+        "sha_format": pipeline.read_sha_format(spark, args.input),
+    }
+    man = (
+        pipeline.read_manifest(spark, args.input)
+        .groupBy("column", "dtype")
+        .agg(
+            F.count("*").alias("chunks"),
+            F.sum("n").alias("values"),
+            F.sum("n_nulls").alias("nulls"),
+            F.sum("encoded_bytes").alias("encoded_bytes"),
+        )
+        .orderBy("column")
+        .collect()
+    )
+    out["columns"] = [r.asDict() for r in man]
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_verify(args) -> int:
     from pyspark.sql import functions as F
 
@@ -418,6 +447,10 @@ def main(argv: list[str] | None = None) -> int:
     pst.add_argument("--input", required=True)
     _pred_args(pst)
     pst.set_defaults(fn=cmd_stats)
+
+    pm = sub.add_parser("meta")
+    pm.add_argument("--input", required=True)
+    pm.set_defaults(fn=cmd_meta)
 
     pv = sub.add_parser("verify")
     pv.add_argument("--input", required=True)

@@ -2,13 +2,14 @@
 
 Image/audio/video travel as ``binary`` columns with a metadata struct;
 decode / feature-extraction run as Arrow-batched ``mapInPandas`` stages.
-Uncompressed formats — binary PPM (P6) and 24-bit BI_RGB BMP — decode
-for REAL in pure NumPy (decode_image below); compressed formats
-(JPEG/PNG/audio/video codecs) remain honestly stubbed because the
-container has no imaging/codec libraries.  Everything Spark-side —
-schema, batching, partitioning, UDF signatures — is real and tested,
-and resize/features take the real pixel path when the payload magic
-parses.
+Uncompressed formats decode for REAL in pure NumPy: binary PPM (P6) and
+24-bit BI_RGB BMP images (``decode_image``/``decode_images``), and
+RIFF/WAVE 16-bit PCM audio (``decode_audio``/``decode_audios``).
+Compressed formats (JPEG/PNG/MP3/video codecs) remain honestly stubbed
+because the container has no imaging/codec libraries.  Everything
+Spark-side — schema, batching, partitioning, UDF signatures — is real
+and tested, and resize/features take the real pixel/sample path when
+the payload magic parses.
 
 At scale: payloads dominate partition size, so re-chunk by bytes
 (``maxPartitionBytes``) not rows; metadata extraction is a narrow map.
@@ -201,6 +202,54 @@ def _try_decode(b: bytes) -> "np.ndarray | None":
         return img
     except NotImplementedError:
         return None
+
+
+DECODED_IMAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("pixels", T.BinaryType()),  # raw HxWx3 RGB
+        T.StructField("decoded", T.BooleanType()),
+    ]
+)
+
+
+def decode_images(media: DataFrame) -> DataFrame:
+    """Table-level decode stage: one row per payload with raw RGB pixel
+    bytes + dims where the magic parses (PPM/BMP), decoded=false with
+    null pixels otherwise — the distributed form of decode_image.  A
+    narrow Arrow-batched map: no shuffle, embarrassingly parallel, the
+    shape every downstream vision featurizer consumes."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hs, ws, px, ok = [], [], [], []
+            for p in pdf["payload"]:
+                img = _try_decode(bytes(p))
+                if img is None:
+                    hs.append(0)
+                    ws.append(0)
+                    px.append(None)
+                    ok.append(False)
+                else:
+                    hs.append(img.shape[0])
+                    ws.append(img.shape[1])
+                    px.append(img.tobytes())
+                    ok.append(True)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "height": np.asarray(hs, dtype=np.int32),
+                    "width": np.asarray(ws, dtype=np.int32),
+                    "pixels": px,
+                    "decoded": ok,
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        fn, schema=DECODED_IMAGE_SCHEMA
+    )
 
 
 # --- audio: real pure-NumPy decode for uncompressed PCM WAV ------------------
@@ -436,3 +485,57 @@ def fake_features(media: DataFrame, dim: int = 8) -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
 
     return media.select("doc_id", "payload").mapInPandas(fn, schema=FEATURE_SCHEMA)
+
+
+DECODED_AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("pcm", T.BinaryType()),  # interleaved <i2
+        T.StructField("decoded", T.BooleanType()),
+    ]
+)
+
+
+def decode_audios(media: DataFrame) -> DataFrame:
+    """Table-level audio decode stage: raw interleaved 16-bit PCM +
+    shape where the payload parses as RIFF/WAVE PCM, decoded=false
+    otherwise — the distributed form of decode_audio, same narrow
+    no-shuffle map shape as decode_images."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ns, ch, sr, pcm, ok = [], [], [], [], []
+            for p in pdf["payload"]:
+                b = bytes(p)
+                samples = None
+                if b[0:4] == b"RIFF" and b[8:12] == b"WAVE":
+                    try:
+                        samples, rate = decode_audio(b)
+                    except (NotImplementedError, ValueError):
+                        samples = None
+                if samples is None:
+                    ns.append(0); ch.append(0); sr.append(0)
+                    pcm.append(None); ok.append(False)
+                else:
+                    ns.append(samples.shape[0])
+                    ch.append(samples.shape[1])
+                    sr.append(rate)
+                    pcm.append(samples.tobytes())
+                    ok.append(True)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_samples": np.asarray(ns, dtype=np.int64),
+                    "channels": np.asarray(ch, dtype=np.int32),
+                    "sample_rate": np.asarray(sr, dtype=np.int32),
+                    "pcm": pcm,
+                    "decoded": ok,
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        fn, schema=DECODED_AUDIO_SCHEMA
+    )

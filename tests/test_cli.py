@@ -119,3 +119,15 @@ def test_where_is_null_scan(encoded_events, tmp_path, capsys):
     assert rc == 0
     got = _parse_lines(capsys)[-1]
     assert got["rows"] == 67  # i % 3 == 0 for i in range(200)
+
+
+def test_meta_subcommand(encoded_events, capsys):
+    rc = cli.main(["meta", "--input", encoded_events])
+    assert rc == 0
+    out = _parse_lines(capsys)[-1]
+    assert out["sha_format"] == pipeline.SHA_FORMAT_VERSION
+    cols = {c["column"]: c for c in out["columns"]}
+    assert set(cols) == {"rid", "k", "ts", "maybe"}
+    assert cols["rid"]["values"] == 200
+    assert cols["maybe"]["nulls"] == 67
+    assert all(c["encoded_bytes"] > 0 for c in out["columns"])

@@ -656,3 +656,36 @@ def test_features_real_path_for_audio(spark):
     assert abs(f[0] - 1.0) < 1e-4  # RMS ~ 1 (full-scale)
     assert abs(f[1] - 1.0) < 1e-4  # peak
     assert abs(f[2] - 1.0) < 1e-4  # zero-crossing every sample
+
+
+def test_decode_images_and_audios_table_stages(spark):
+    """Distributed decode stages: mixed media batches come back with
+    pixel/PCM bytes where the magic parses and decoded=false elsewhere."""
+    import numpy as np
+
+    from parquetjs_spark.functions import multimodal
+
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 256, size=(3, 5, 3), dtype=np.uint8)
+    pcm = rng.integers(-1000, 1000, size=(64, 2), dtype=np.int16)
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(multimodal.encode_ppm(img)), "image/x-portable-pixmap"),
+            (2, bytearray(multimodal.encode_wav(pcm, 22050)), "audio/wav"),
+            (3, bytearray(b"neither image nor audio"), "text/plain"),
+        ],
+        "doc_id long, payload binary, media_type string",
+    )
+    imgs = {r["doc_id"]: r for r in multimodal.decode_images(media).collect()}
+    assert imgs[1]["decoded"] and (imgs[1]["height"], imgs[1]["width"]) == (3, 5)
+    got = np.frombuffer(bytes(imgs[1]["pixels"]), dtype=np.uint8).reshape(3, 5, 3)
+    assert np.array_equal(got, img)
+    assert not imgs[2]["decoded"] and not imgs[3]["decoded"]
+    auds = {r["doc_id"]: r for r in multimodal.decode_audios(media).collect()}
+    a = auds[2]
+    assert a["decoded"] and a["n_samples"] == 64 and a["channels"] == 2
+    assert a["sample_rate"] == 22050
+    assert np.array_equal(
+        np.frombuffer(bytes(a["pcm"]), dtype="<i2").reshape(64, 2), pcm
+    )
+    assert not auds[1]["decoded"] and not auds[3]["decoded"]
