@@ -382,3 +382,48 @@ def test_nested_list_string_roundtrip(values):
     assert dtype == "list_list_list_string"
     assert out.to_pylist() == values
     assert arrow_chunk.verify_arrow(blob, stats["sha256"])
+
+
+# --- multimodal pure-NumPy decoders --------------------------------------
+
+
+@FAST
+@given(
+    st.integers(1, 12),
+    st.integers(1, 12),
+    st.integers(0, 2**32 - 1),
+)
+def test_ppm_bmp_wav_roundtrip_property(h, w, seed):
+    """decode(encode(x)) == x over random shapes for all three real
+    media decoders (PPM, BMP via the hand-rolled writer, WAV PCM)."""
+    from parquetjs_spark.functions import multimodal
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert np.array_equal(
+        multimodal.decode_image(multimodal.encode_ppm(img)), img
+    )
+    ch = 1 + (seed % 2)
+    pcm = rng.integers(-32768, 32767, size=(h * w, ch), dtype=np.int16)
+    out, rate = multimodal.decode_audio(multimodal.encode_wav(pcm, 8000))
+    assert rate == 8000 and np.array_equal(out, pcm)
+
+
+@FAST
+@given(st.lists(st.floats(-1e4, 1e4, width=32), min_size=1, max_size=32),
+       st.integers(0, 2**31 - 1))
+def test_quantize_error_bound_property(vals, _seed):
+    """int8 quantization error is bounded by scale/2 per element and
+    zero vectors round-trip exactly — NumPy mirror of the JVM math."""
+    v = np.asarray(vals, dtype=np.float32).astype(np.float64)
+    am = np.abs(v).max()
+    if am == 0:
+        q = np.zeros_like(v)
+        scale = 0.0
+        assert np.array_equal(q * scale, v)
+        return
+    scale = am / 127.0
+    q = np.round(v * 127.0 / am)
+    assert np.all(np.abs(q) <= 127)
+    err = np.abs(q * scale - v)
+    assert np.all(err <= scale / 2 + 1e-12)
