@@ -77,7 +77,11 @@ def _parse_ppm(b: bytes) -> "np.ndarray | None":
     Returns None when the payload is not a parseable P6 stream (so
     callers can fall back); raises NotImplementedError for valid-but-
     unsupported 16-bit maxval."""
-    if not b.startswith(b"P6"):
+    # magic must be followed by whitespace or a comment ("P63..." is
+    # not a P6 stream and must not parse as width=3)
+    if not b.startswith(b"P6") or len(b) < 3 or (
+        not b[2:3].isspace() and b[2] != 0x23
+    ):
         return None
     try:
         pos, vals = 2, []
