@@ -51,8 +51,21 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 
-ROWS_A = int(sys.argv[1]) if len(sys.argv) > 1 else 320000
-ROWS_B = int(sys.argv[2]) if len(sys.argv) > 2 else 1280000
+# --pair=a|b|both (default both): a single-pair re-draw costs half a
+# full invocation; single-pair runs print JSON only and do NOT rewrite
+# BENCH/BASELINE.md (the file needs both pairs — merge kept draws by
+# hand, listing every draw in the manual notes)
+PAIR = "both"
+_args = []
+for _a in sys.argv[1:]:
+    if _a.startswith("--pair="):
+        PAIR = _a.split("=", 1)[1]
+        if PAIR not in ("a", "b", "both"):
+            raise SystemExit(f"--pair={PAIR}: expected a|b|both")
+    else:
+        _args.append(_a)
+ROWS_A = int(_args[0]) if len(_args) > 0 else 320000
+ROWS_B = int(_args[1]) if len(_args) > 1 else 1280000
 PARTITIONS = 256  # 8 task waves at 32 cores: stragglers amortize at all sizes
 
 RUNNER = r"""
@@ -156,10 +169,17 @@ def pair(n_cores: int, rows: int) -> dict:
 
 
 def main():
-    a = pair(2, ROWS_A)
-    b = pair(8, ROWS_B)
-    result = {"partitions": PARTITIONS, "pair_a_2to8": a, "pair_b_8to32": b}
+    a = pair(2, ROWS_A) if PAIR in ("a", "both") else None
+    b = pair(8, ROWS_B) if PAIR in ("b", "both") else None
+    result = {"partitions": PARTITIONS}
+    if a is not None:
+        result["pair_a_2to8"] = a
+    if b is not None:
+        result["pair_b_8to32"] = b
     print(json.dumps(result))
+    if PAIR != "both":
+        print("single-pair draw: BENCH/BASELINE.md NOT rewritten")
+        return
 
     os.makedirs("/root/repo/BENCH", exist_ok=True)
     # preserve hand-written run notes (draw discards, attributions)
