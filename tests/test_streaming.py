@@ -142,3 +142,44 @@ def test_dedup_stream_key_modes(tmp_path, spark):
         stream = spark.readStream.schema(df.schema).parquet(str(src))
         dedup_stream(stream, str(tmp_path / "x"), str(tmp_path / "ckx"),
                      key_mode="nope")
+
+
+def test_stream_dedup_then_encode_compose(tmp_path, spark):
+    """Streaming pipeline composition: raw stream -> dedup_stream
+    (exactly-once survivor set) -> encode_stream over the deduped
+    output -> verified blob table.  The file handoff is the standard
+    bronze->silver pattern; chunk identity stays unique across
+    micro-batches."""
+    from pyspark.sql import functions as F
+
+    from parquetjs_spark import pipeline
+    from parquetjs_spark.streaming import dedup_stream, encode_stream
+
+    schema = "doc_id long, text string"
+    raw = tmp_path / "raw"
+    deduped = tmp_path / "deduped"
+    enc = tmp_path / "enc"
+    spark.createDataFrame(
+        [(i, "doc %d" % (i % 7)) for i in range(40)], schema
+    ).write.mode("overwrite").parquet(str(raw))
+
+    q = dedup_stream(
+        spark.readStream.schema(schema).parquet(str(raw)),
+        str(deduped), str(tmp_path / "ck1"), key_cols=("text",),
+        trigger_once=True,
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(str(deduped)).count() == 7
+
+    q2 = encode_stream(
+        spark.readStream.schema(schema).parquet(str(deduped)),
+        str(enc), str(tmp_path / "ck2"),
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    blobs = pipeline.read_encoded(spark, str(enc))
+    assert pipeline.verify_blobs(blobs).where(~F.col("ok")).count() == 0
+    out = pipeline.decode_table(blobs)
+    assert sorted(r["text"] for r in out.collect()) == sorted(
+        "doc %d" % i for i in range(7)
+    )
