@@ -32,6 +32,7 @@ import numpy as np
 import pandas as pd
 
 from .codecs import (
+    BSS,
     CODEC_IDS,
     CODEC_NAMES,
     DICT_RLE,
@@ -40,6 +41,7 @@ from .codecs import (
     FSST,
     PLAIN,
     RLE,
+    bss,
     compress as comp,
     dictionary,
     for_bp,
@@ -364,6 +366,9 @@ def _encode_values(vals, dtype: str, codec: str, fsst_table=None, fsst_state=Non
             return plain.encode_numeric(_PTYPE[dtype], np.asarray(vals))
         if codec == DICT_RLE:
             return dictionary.encode(np.asarray(vals), _PTYPE[dtype])
+        if codec == BSS:
+            dt = np.float64 if dtype == "float64" else np.float32
+            return bss.encode(np.asarray(vals, dtype=dt))
         raise ValueError(f"codec {codec} unsupported for {dtype}")
     # string / binary
     if codec == PLAIN:
@@ -388,6 +393,8 @@ def _decode_values(buf: memoryview, n: int, dtype: str, codec: str):
             return plain.decode_numeric(_PTYPE[dtype], buf, n)
         if codec == DICT_RLE:
             return dictionary.decode(buf, n, _PTYPE[dtype])
+        if codec == BSS:
+            return bss.decode(buf, n, np.float64 if dtype == "float64" else np.float32)
         raise ValueError(f"codec {codec} unsupported for {dtype}")
     if codec == PLAIN:
         return strstream.decode_byte_arrays(buf, n)
@@ -449,6 +456,11 @@ def select_codec(vals, dtype: str, fsst_state: dict | None = None) -> tuple[str,
             PLAIN: len(sample) * width,
             DICT_RLE: int(ds["est_size"]),
         }
+        if dtype in ("float64", "float32"):
+            # BSS is size-neutral raw (same n*width bytes as PLAIN) —
+            # its win is post-compression only, so it always enters the
+            # measured z-comparison below rather than the analytic cut
+            raw_cands[BSS] = len(sample) * width
         rle_ok = False
         if dtype != "float64" and dtype != "float32":
             vmin, vmax = int(arr.min()), int(arr.max())

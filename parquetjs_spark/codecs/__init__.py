@@ -2,7 +2,9 @@
 (which registers only PLAIN and RLE); ours adds DICT_RLE, FOR_BITPACK and
 FSST per the north rule."""
 
-from . import bloom, compress, dictionary, for_bp, fsst, plain, rle, strstream, util
+from . import (
+    bloom, bss, compress, dictionary, for_bp, fsst, plain, rle, strstream, util,
+)
 
 PLAIN = "PLAIN"
 RLE = "RLE"
@@ -12,12 +14,17 @@ FSST = "FSST"
 # fixed-length byte arrays: raw concatenation + one u32 width
 # (/root/reference/lib/codec/plain.js:179-209 FIXED_LEN_BYTE_ARRAY)
 FLBA = "FLBA"
+# byte-plane transpose for floats (Parquet spec encoding; codecs/bss.py)
+BSS = "BYTE_STREAM_SPLIT"
 
-CODEC_IDS = {PLAIN: 0, RLE: 1, DICT_RLE: 2, FOR_BITPACK: 3, FSST: 4, FLBA: 5}
+CODEC_IDS = {
+    PLAIN: 0, RLE: 1, DICT_RLE: 2, FOR_BITPACK: 3, FSST: 4, FLBA: 5, BSS: 6,
+}
 CODEC_NAMES = {v: k for k, v in CODEC_IDS.items()}
 
 __all__ = [
     "bloom",
+    "bss",
     "compress",
     "dictionary",
     "for_bp",
@@ -32,6 +39,7 @@ __all__ = [
     "FOR_BITPACK",
     "FSST",
     "FLBA",
+    "BSS",
     "CODEC_IDS",
     "CODEC_NAMES",
 ]

@@ -238,3 +238,42 @@ def test_cached_flba_selection_revalidated_on_varlen_chunk():
     assert s2["codec"] != "FLBA"
     out, _ = chunk.decode_chunk(blob2)
     assert out.tolist() == varlen.tolist()
+
+
+def test_bss_roundtrip_and_autoselect():
+    """BYTE_STREAM_SPLIT (Parquet spec encoding, round 5): forced
+    round-trips bit-exact for both float widths incl. IEEE specials;
+    the measured selector picks BSS on smooth measurement-like doubles
+    (where byte planes compress far better than interleaved PLAIN) and
+    does NOT pick it on 2-decimal prices (where PLAIN/DICT post-zlib is
+    smaller — BSS would inflate by ~1.5x there)."""
+    import struct
+
+    from parquetjs_spark.codecs import BSS
+
+    rng = np.random.default_rng(7)
+    specials = pd.Series(
+        np.array([1.5, -0.0, np.nan, np.inf, -np.inf] * 200, dtype=np.float64)
+    )
+    out, stats = roundtrip(specials, "float64", codec=BSS)
+    assert stats["codec"] == BSS
+    a, b = out.to_numpy().tobytes(), specials.to_numpy().tobytes()
+    assert a == b  # bit identity, incl. nan payload and -0.0 sign
+    f32 = pd.Series(rng.normal(size=2000).astype(np.float32))
+    out32, _ = roundtrip(f32, "float32", codec=BSS)
+    assert out32.to_numpy().tobytes() == f32.to_numpy().tobytes()
+
+    walk = pd.Series(np.cumsum(rng.normal(0, 0.01, 4096)) + 100.0)
+    sel, _ = chunk.select_codec(walk.to_numpy(), "float64")
+    assert sel == BSS
+    prices = pd.Series(np.round(rng.gamma(4, 900, 4096), 2))
+    sel2, _ = chunk.select_codec(prices.to_numpy(), "float64")
+    assert sel2 != BSS
+    # auto end-to-end on the winning shape: chunk is smaller than the
+    # same data forced through PLAIN
+    blob_auto, st_auto = chunk.encode_chunk(walk, "float64", codec="auto")
+    blob_plain, _ = chunk.encode_chunk(walk, "float64", codec=PLAIN)
+    assert st_auto["codec"] == BSS
+    assert len(blob_auto) < len(blob_plain)
+    out_w, _ = chunk.decode_chunk(blob_auto)
+    assert out_w.to_numpy().tobytes() == walk.to_numpy().tobytes()

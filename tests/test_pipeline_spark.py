@@ -1151,3 +1151,31 @@ def test_fsst_pretrain_sample_is_content_determined(spark):
     bin_df = fwd.select(F.encode("s", "UTF-8").alias("b"))
     t_bin = pipeline.pretrain_fsst_tables(bin_df, ["b"], {"b": "binary"})
     assert "b" in t_bin
+
+
+def test_bss_pipeline_autoselect_and_verify(spark):
+    """BYTE_STREAM_SPLIT through the full Spark pipeline: the selector
+    picks it per-chunk on smooth doubles, sha-verify passes, and decode
+    is bit-exact; forced BSS works on float32 too."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    walk = (np.cumsum(rng.normal(0, 0.01, 20000)) + 100.0).tolist()
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(walk)], "rid long, x double"
+    )
+    blobs = pipeline.encode_columns(df, ["x"], chunk_rows=4096).cache()
+    try:
+        codecs_used = {r["codec"] for r in blobs.select("codec").distinct().collect()}
+        assert "BYTE_STREAM_SPLIT" in codecs_used
+        assert pipeline.verify_blobs(blobs).where(~F.col("ok")).count() == 0
+        out = pipeline.decode_column(blobs, "x", dtype="float64")
+        got = sorted(r["x"] for r in out.collect())
+        assert got == sorted(walk)  # exact: bytes moved, never rounded
+    finally:
+        blobs.unpersist()
+    f32 = df.select(F.col("x").cast("float").alias("y"))
+    out32 = pipeline.roundtrip_column(f32, "y", codec="BYTE_STREAM_SPLIT")
+    assert sorted(r["y"] for r in out32.collect()) == sorted(
+        r["y"] for r in f32.collect()
+    )

@@ -427,3 +427,21 @@ def test_quantize_error_bound_property(vals, _seed):
     assert np.all(np.abs(q) <= 127)
     err = np.abs(q * scale - v)
     assert np.all(err <= scale / 2 + 1e-12)
+
+
+@FAST
+@given(
+    st.lists(
+        st.floats(allow_nan=True, allow_infinity=True, width=64),
+        min_size=0, max_size=400,
+    )
+)
+def test_bss_roundtrip_property(values):
+    """BYTE_STREAM_SPLIT moves bytes without interpreting them:
+    decode(encode(x)) is bit-identical for arbitrary float64 payloads
+    including NaN payload bits."""
+    from parquetjs_spark.codecs import bss
+
+    a = np.asarray(values, dtype=np.float64)
+    out = bss.decode(bss.encode(a), len(a), np.float64)
+    assert out.tobytes() == a.tobytes()
