@@ -186,3 +186,38 @@ def corpus_token_frequencies(
     if top_n is not None:
         counts = counts.orderBy(F.desc("n"), F.asc("token")).limit(top_n)
     return counts
+
+
+def normalize_text(
+    docs: DataFrame,
+    lowercase: bool = True,
+    collapse_whitespace: bool = True,
+    strip: bool = True,
+) -> DataFrame:
+    """Deterministic text normalization — the canonicalization pass that
+    precedes exact dedup in a training pipeline (two docs differing only
+    in case/whitespace should hash equal).  Pure JVM built-ins
+    (lower/regexp_replace/trim), whole-stage codegen, no shuffle."""
+    col = F.col("text")
+    if lowercase:
+        col = F.lower(col)
+    if collapse_whitespace:
+        col = F.regexp_replace(col, r"\s+", " ")
+    if strip:
+        col = F.trim(col)
+    return docs.withColumn("text", col)
+
+
+def sample_corpus(
+    docs: DataFrame, rate_pct: int, key: str = "doc_id", seed: int = 0
+) -> DataFrame:
+    """Deterministic corpus sampling: keep rows where
+    xxhash64(seed, key) mod 100 < rate_pct.  Unlike DataFrame.sample()
+    this is a pure function of the KEY — reproducible across runs,
+    partitionings and cluster sizes (resume-safe), and the complement
+    (train/holdout split) is exact: the same predicate with the
+    opposite inequality.  One narrow filter, pushdown-friendly."""
+    if not 0 <= rate_pct <= 100:
+        raise ValueError("rate_pct in [0, 100]")
+    bucket = F.pmod(F.xxhash64(F.lit(seed), F.col(key)), F.lit(100))
+    return docs.where(bucket < rate_pct)

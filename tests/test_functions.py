@@ -689,3 +689,33 @@ def test_decode_images_and_audios_table_stages(spark):
         np.frombuffer(bytes(a["pcm"]), dtype="<i2").reshape(64, 2), pcm
     )
     assert not auds[1]["decoded"] and not auds[3]["decoded"]
+
+
+def test_normalize_text_and_sample_corpus(spark):
+    from parquetjs_spark.functions import text
+
+    docs = spark.createDataFrame(
+        [(1, "  Hello   WORLD \t x "), (2, "hello world x"), (3, None)],
+        "doc_id long, text string",
+    )
+    norm = {r["doc_id"]: r["text"] for r in text.normalize_text(docs).collect()}
+    assert norm[1] == norm[2] == "hello world x"
+    assert norm[3] is None
+    # sampling: deterministic, partition-independent, exact complement
+    big = spark.createDataFrame(
+        [(i, "d%d" % i) for i in range(2000)], "doc_id long, text string"
+    )
+    s1 = {r["doc_id"] for r in text.sample_corpus(big, 10).collect()}
+    s2 = {r["doc_id"] for r in
+          text.sample_corpus(big.repartition(7), 10).collect()}
+    assert s1 == s2
+    assert 100 < len(s1) < 320  # ~10% of 2000, hash-uniform
+    rest = {r["doc_id"] for r in
+            big.join(text.sample_corpus(big, 10), "doc_id", "left_anti").collect()}
+    assert s1 | rest == set(range(2000)) and not (s1 & rest)
+    # different seeds draw different strata
+    s_other = {r["doc_id"] for r in text.sample_corpus(big, 10, seed=1).collect()}
+    assert s_other != s1
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        text.sample_corpus(big, 101)
