@@ -69,15 +69,17 @@ def cmd_encode(args) -> int:
     elif args.partitions:
         df = df.repartition(args.partitions)
 
+    enc_kw = {"chunk_rows": args.chunk_rows, "codec": args.codec,
+              "compression": args.compression}
     if args.resume_from:
         # resume: drop chunks already committed in a previous run's manifest
         done = pipeline.read_manifest(spark, args.resume_from)
         already = done.count()
-        blobs = pipeline.encode_columns(df, cols, chunk_rows=args.chunk_rows)
+        blobs = pipeline.encode_columns(df, cols, **enc_kw)
         blobs = pipeline.pending_chunks(blobs, done)
         mode = "append"
     else:
-        blobs = pipeline.encode_columns(df, cols, chunk_rows=args.chunk_rows)
+        blobs = pipeline.encode_columns(df, cols, **enc_kw)
         mode = "overwrite"
     metadata = dict(kv.split("=", 1) for kv in (args.meta or []))
     pipeline.write_encoded(
@@ -362,6 +364,19 @@ def main(argv: list[str] | None = None) -> int:
     pe.add_argument("--output", required=True)
     pe.add_argument("--columns", default=None, help="comma-separated; default all")
     pe.add_argument("--chunk-rows", type=int, default=4096)
+    pe.add_argument(
+        "--codec",
+        default="auto",
+        help="force one codec for every chunk (PLAIN/RLE/DICT_RLE/"
+        "FOR_BITPACK/FSST/FLBA/BYTE_STREAM_SPLIT); default: per-chunk "
+        "auto-selection",
+    )
+    pe.add_argument(
+        "--compression",
+        default="auto",
+        help="force block compression (UNCOMPRESSED/ZLIB/GZIP/SNAPPY/"
+        "ZSTD/LZ4/BROTLI); default: measured per chunk",
+    )
     pe.add_argument("--partitions", type=int, default=None)
     pe.add_argument("--salt-key", default=None, help="skewed key column to salt on")
     pe.add_argument(

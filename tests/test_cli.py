@@ -131,3 +131,26 @@ def test_meta_subcommand(encoded_events, capsys):
     assert cols["rid"]["values"] == 200
     assert cols["maybe"]["nulls"] == 67
     assert all(c["encoded_bytes"] > 0 for c in out["columns"])
+
+
+def test_encode_forced_codec_flag(tmp_path, spark, capsys):
+    """--codec forces one codec for every chunk (BYTE_STREAM_SPLIT on a
+    double column here) and the table still verifies + decodes."""
+    import numpy as np
+
+    src = str(tmp_path / "f.parquet")
+    enc = str(tmp_path / "fenc")
+    rng = np.random.default_rng(5)
+    vals = (np.cumsum(rng.normal(0, 0.01, 500)) + 1.0).tolist()
+    spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "rid long, x double"
+    ).write.parquet(src)
+    rc = cli.main([
+        "encode", "--input", src, "--output", enc,
+        "--columns", "x", "--codec", "BYTE_STREAM_SPLIT",
+        "--chunk-rows", "128",
+    ])
+    assert rc == 0
+    rows = _parse_lines(capsys)
+    assert any(r.get("codec") == "BYTE_STREAM_SPLIT" for r in rows)
+    assert cli.main(["verify", "--input", enc]) == 0
