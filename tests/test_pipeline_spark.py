@@ -1179,3 +1179,14 @@ def test_bss_pipeline_autoselect_and_verify(spark):
     assert sorted(r["y"] for r in out32.collect()) == sorted(
         r["y"] for r in f32.collect()
     )
+
+
+def test_bss_temporal_roundtrip(spark):
+    """Forced BSS on timestamp and date columns round-trips through the
+    pipeline (int-like dtypes ride the same byte-plane path)."""
+    df = load_table(spark, SF, "lineitem").select("l_shipdate").limit(2000)
+    out = pipeline.roundtrip_column(df, "l_shipdate", codec="BYTE_STREAM_SPLIT")
+    assert sorted(map(repr, out.collect())) == sorted(map(repr, df.collect()))
+    dd = df.select(F.col("l_shipdate").cast("date").alias("d"))
+    out2 = pipeline.roundtrip_column(dd, "d", codec="BYTE_STREAM_SPLIT")
+    assert sorted(map(repr, out2.collect())) == sorted(map(repr, dd.collect()))
