@@ -233,6 +233,9 @@ def _parse_predicates(args, dtype_of):
         )
     eqs = {}
     for spec in args.eq or []:
+        if "=" not in spec:
+            print(f"error: bad --eq {spec!r} (COL=VALUE)", file=sys.stderr)
+            raise SystemExit(2)
         col, raw = spec.split("=", 1)
         eqs[col] = _typed_literal(dtype_of(col), raw)
     for col in getattr(args, "is_null", None) or []:
