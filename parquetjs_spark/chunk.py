@@ -34,6 +34,7 @@ import pandas as pd
 from .codecs import (
     BSS,
     CODEC_IDS,
+    INT96,
     CODEC_NAMES,
     DICT_RLE,
     FLBA,
@@ -311,6 +312,8 @@ def _encode_int_values(vals: np.ndarray, dtype: str, codec: str) -> bytes:
         # natural storage width (INT32 dtypes -> 4-byte planes)
         nt = np.int32 if _PTYPE.get(dtype) == "INT32" else np.int64
         return bss.encode(np.ascontiguousarray(vals, dtype=nt))
+    if codec == INT96 and dtype != "bool":
+        return plain.encode_int96(work)
     raise ValueError(f"codec {codec} unsupported for {dtype}")
 
 
@@ -331,6 +334,8 @@ def _decode_int_values(buf: memoryview, n: int, dtype: str, codec: str):
     if codec == BSS and dtype != "bool":
         nt = np.int32 if _PTYPE.get(dtype) == "INT32" else np.int64
         return bss.decode(buf, n, nt)
+    if codec == INT96 and dtype != "bool":
+        return plain.decode_int96(buf, n)
     raise ValueError(f"codec {codec} unsupported for {dtype}")
 
 

@@ -16,9 +16,13 @@ FSST = "FSST"
 FLBA = "FLBA"
 # byte-plane transpose for floats (Parquet spec encoding; codecs/bss.py)
 BSS = "BYTE_STREAM_SPLIT"
+# 12-byte sign-extended int64 (reference lib/codec/plain.js:70-103
+# parity; deprecated in the spec — forced-only interop codec)
+INT96 = "INT96"
 
 CODEC_IDS = {
     PLAIN: 0, RLE: 1, DICT_RLE: 2, FOR_BITPACK: 3, FSST: 4, FLBA: 5, BSS: 6,
+    INT96: 7,
 }
 CODEC_NAMES = {v: k for k, v in CODEC_IDS.items()}
 
@@ -40,6 +44,7 @@ __all__ = [
     "FSST",
     "FLBA",
     "BSS",
+    "INT96",
     "CODEC_IDS",
     "CODEC_NAMES",
 ]

@@ -308,3 +308,29 @@ def test_bss_int_roundtrip_and_autoselect():
     assert len(blob_auto) < len(blob_plain)
     out_a, _ = chunk.decode_chunk(blob_auto)
     assert out_a.tolist() == s.tolist()
+
+
+def test_int96_roundtrip_and_golden_bytes():
+    """PLAIN INT96 parity (/root/reference/lib/codec/plain.js:70-103):
+    12-byte sign-extended int64 values, byte layout matched exactly —
+    the last deliberately-skipped reference codec, now closed.  Forced-
+    only (1.5x PLAIN INT64 by construction, never auto-selected)."""
+    from parquetjs_spark.codecs import INT96, plain as plain_codec
+
+    ext = [0, 1, -1, 2**62, -2**62, 2**63 - 1, -2**63]
+    s = pd.Series(np.array(ext * 40, dtype=np.int64))
+    out, stats = roundtrip(s, "int64", codec=INT96)
+    assert stats["codec"] == INT96 and out.tolist() == s.tolist()
+    # golden bytes: value low 8 LE + sign-extension word, as the
+    # reference writes them
+    b = plain_codec.encode_int96(np.array([1, -1], dtype=np.int64))
+    assert b == bytes([1] + [0] * 7 + [0] * 4) + bytes([0xFF] * 12)
+    # timestamps ride the same path
+    ts = pd.Series(
+        pd.to_datetime(["1969-07-20 20:17:40", "2020-01-01 00:00:00"])
+    )
+    out_ts, _ = roundtrip(ts, "timestamp_us", codec=INT96)
+    assert out_ts.tolist() == ts.tolist()
+    # the selector never picks it
+    sel, _ = chunk.select_codec(s.to_numpy(), "int64")
+    assert sel != INT96

@@ -1190,3 +1190,20 @@ def test_bss_temporal_roundtrip(spark):
     dd = df.select(F.col("l_shipdate").cast("date").alias("d"))
     out2 = pipeline.roundtrip_column(dd, "d", codec="BYTE_STREAM_SPLIT")
     assert sorted(map(repr, out2.collect())) == sorted(map(repr, dd.collect()))
+
+
+def test_int96_pipeline_roundtrip(spark):
+    """Forced INT96 through the full Spark pipeline (reference parity
+    codec, plain.js:70-103): int64 and timestamp columns round-trip and
+    sha-verify."""
+    df = load_table(spark, SF, "lineitem").select("l_orderkey", "l_shipdate").limit(2000)
+    out = pipeline.roundtrip_column(df, "l_orderkey", codec="INT96")
+    assert sorted(r[0] for r in out.collect()) == sorted(
+        r[0] for r in df.select("l_orderkey").collect()
+    )
+    blobs = pipeline.encode_columns(df, ["l_shipdate"], codec="INT96")
+    assert pipeline.verify_blobs(blobs).where(~F.col("ok")).count() == 0
+    dec = pipeline.decode_column(blobs, "l_shipdate")
+    assert sorted(map(repr, dec.collect())) == sorted(
+        map(repr, df.select("l_shipdate").collect())
+    )
