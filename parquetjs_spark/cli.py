@@ -215,6 +215,15 @@ def _parse_predicates(args, dtype_of):
             print(f"error: bad --range {spec!r} (COL:LO..HI)", file=sys.stderr)
             raise SystemExit(2)
         if ".." in rest:
+            if "..." in rest or rest.count("..") > 1:
+                # '1...5' splits ambiguously (lo='1.' vs hi='.5') —
+                # error instead of silently scanning an empty range
+                print(
+                    f"error: ambiguous --range {spec!r}: write bounds "
+                    "with an explicit digit around '..' (e.g. 1.0..0.5)",
+                    file=sys.stderr,
+                )
+                raise SystemExit(2)
             lo, _, hi = rest.partition("..")
         else:
             parts = rest.split(":")
@@ -240,6 +249,16 @@ def _parse_predicates(args, dtype_of):
         eqs[col] = _typed_literal(dtype_of(col), raw)
     for col in getattr(args, "is_null", None) or []:
         dtype_of(col)  # existence check
+        if col in eqs or col in ranges:
+            # silently replacing an --eq (or tripping scan_table_where's
+            # range/eq conflict as a raw traceback) would discard a
+            # predicate the user asked for
+            print(
+                f"error: --is-null {col} conflicts with an --eq/--range "
+                "on the same column",
+                file=sys.stderr,
+            )
+            raise SystemExit(2)
         eqs[col] = None  # scan_eq(col, None) = IS NULL via n_nulls stat
     return ranges, eqs
 

@@ -57,7 +57,7 @@ def extract_metadata(media: DataFrame) -> DataFrame:
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = [bytes(p) for p in pdf["payload"]]
+            payloads = [b"" if p is None else bytes(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -105,7 +105,14 @@ def _parse_ppm(b: bytes) -> "np.ndarray | None":
             raise NotImplementedError("16-bit PPM (maxval > 255) unsupported")
         if maxval <= 0 or w <= 0 or h <= 0:
             return None
-        pos += 1  # exactly one whitespace byte after maxval
+        # exactly one whitespace byte after maxval per the spec; a
+        # Windows-written header ends CRLF — accept it, and reject a
+        # non-whitespace separator instead of decoding shifted pixels
+        if pos >= len(b) or not b[pos : pos + 1].isspace():
+            return None
+        if b[pos : pos + 2] == b"\r\n":
+            pos += 1
+        pos += 1
         need = w * h * 3
         if len(b) - pos < need:
             return None
@@ -143,7 +150,9 @@ def _parse_bmp(b: bytes) -> "np.ndarray | None":
             )
         stride = (w * 3 + 3) & ~3  # rows padded to 4 bytes
         n_rows = abs(h)
-        if data_off + stride * n_rows > len(b):
+        # pixel data cannot start inside the file/DIB headers (a
+        # data_off of 0 would decode the magic bytes as pixels)
+        if data_off < 14 + dib or data_off + stride * n_rows > len(b):
             return None
         rows = np.frombuffer(
             b, dtype=np.uint8, count=stride * n_rows, offset=data_off
@@ -230,7 +239,8 @@ def decode_images(media: DataFrame) -> DataFrame:
         for pdf in batches:
             hs, ws, px, ok = [], [], [], []
             for p in pdf["payload"]:
-                img = _try_decode(bytes(p))
+                # NULL payloads are decoded=false rows, never a crash
+                img = _try_decode(b"" if p is None else bytes(p))
                 if img is None:
                     hs.append(0)
                     ws.append(0)
@@ -382,7 +392,7 @@ def resize_images(media: DataFrame, width: int = 64, height: int = 64) -> DataFr
         for pdf in batches:
             outs = []
             for p in pdf["payload"]:
-                b = bytes(p)
+                b = b"" if p is None else bytes(p)
                 img = _try_decode(b)
                 if img is not None:
                     outs.append(encode_ppm(_resize_nearest(img, width, height)))
@@ -427,7 +437,7 @@ def sample_frames(
         for pdf in batches:
             ids, idxs, frames = [], [], []
             for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
-                b = bytes(p)
+                b = b"" if p is None else bytes(p)
                 step = max(1, len(b) // n_frames)
                 for i in range(n_frames):
                     lo = i * step
@@ -468,7 +478,7 @@ def fake_features(media: DataFrame, dim: int = 8) -> DataFrame:
         for pdf in batches:
             feats = []
             for p in pdf["payload"]:
-                b = bytes(p)
+                b = b"" if p is None else bytes(p)
                 if dim == 8:
                     img = _try_decode(b)
                     if img is not None:
@@ -513,7 +523,7 @@ def decode_audios(media: DataFrame) -> DataFrame:
         for pdf in batches:
             ns, ch, sr, pcm, ok = [], [], [], [], []
             for p in pdf["payload"]:
-                b = bytes(p)
+                b = b"" if p is None else bytes(p)
                 samples = None
                 if b[0:4] == b"RIFF" and b[8:12] == b"WAVE":
                     try:

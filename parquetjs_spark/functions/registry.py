@@ -250,7 +250,14 @@ def _seeded_embs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _planted_dup_rows(topk_fn, spark, sf_dir) -> DataFrame:
     """Run an ANN top-k for query ids 0..2 over the seeded table and
     keep only the planted-duplicate hit per query: present iff the
-    duplicate survived candidacy + re-rank, score_u exactly 1000000."""
+    duplicate survived candidacy + re-rank, score_u exactly 1000000.
+
+    Deliberately one full top-k PER query (3 signature/assignment
+    passes at oracle scale, where the table is tiny): the invariant is
+    true top-k MEMBERSHIP, which pre-filtering to the planted ids
+    would no longer test.  A production many-query workload shares one
+    pass via the ``sigs=`` / ``ivf_assign`` caller-managed-persist
+    APIs instead (see lsh_topk_for_id's docstring)."""
     from functools import reduce
 
     from pyspark.sql import functions as F

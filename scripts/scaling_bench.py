@@ -64,8 +64,22 @@ for _a in sys.argv[1:]:
             raise SystemExit(f"--pair={PAIR}: expected a|b|both")
     else:
         _args.append(_a)
-ROWS_A = int(_args[0]) if len(_args) > 0 else 320000
-ROWS_B = int(_args[1]) if len(_args) > 1 else 1280000
+ROWS_A = 320000
+ROWS_B = 1280000
+# positional row counts bind to the pair(s) actually being run: with
+# --pair=b a single count means pair-B rows (previously it silently
+# bound to the unused ROWS_A and pair B ran at the default size)
+if PAIR == "a":
+    if len(_args) > 1:
+        raise SystemExit("--pair=a takes at most one row count")
+    ROWS_A = int(_args[0]) if _args else ROWS_A
+elif PAIR == "b":
+    if len(_args) > 1:
+        raise SystemExit("--pair=b takes at most one row count")
+    ROWS_B = int(_args[0]) if _args else ROWS_B
+else:
+    ROWS_A = int(_args[0]) if len(_args) > 0 else ROWS_A
+    ROWS_B = int(_args[1]) if len(_args) > 1 else ROWS_B
 PARTITIONS = 256  # 8 task waves at 32 cores: stragglers amortize at all sizes
 
 RUNNER = r"""

@@ -154,3 +154,20 @@ def test_encode_forced_codec_flag(tmp_path, spark, capsys):
     rows = _parse_lines(capsys)
     assert any(r.get("codec") == "BYTE_STREAM_SPLIT" for r in rows)
     assert cli.main(["verify", "--input", enc]) == 0
+
+
+def test_predicate_conflicts_and_ambiguous_dots(encoded_events, tmp_path):
+    """Review findings: --is-null on a column already constrained by
+    --eq/--range must error (not silently replace the predicate), and
+    '1...5'-style bounds must error (not scan an inverted empty range)."""
+    for argv in (
+        ["where", "--input", encoded_events, "--eq", "k=k1",
+         "--is-null", "k", "--output", str(tmp_path / "a")],
+        ["where", "--input", encoded_events, "--range", "rid:0..5",
+         "--is-null", "rid", "--output", str(tmp_path / "b")],
+        ["where", "--input", encoded_events, "--range", "rid:1...5",
+         "--output", str(tmp_path / "c")],
+    ):
+        with pytest.raises(SystemExit) as e:
+            cli.main(argv)
+        assert e.value.code == 2

@@ -719,3 +719,29 @@ def test_normalize_text_and_sample_corpus(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         text.sample_corpus(big, 101)
+
+
+def test_media_udfs_tolerate_null_payloads(spark):
+    """Review finding: a NULL payload row must become a decoded=false /
+    stand-in row in every media UDF, never a stage crash."""
+    import numpy as np
+
+    from parquetjs_spark.functions import multimodal
+
+    media = spark.createDataFrame(
+        [(1, None, "image/unknown"),
+         (2, bytearray(b"some text"), "text/plain")],
+        "doc_id long, payload binary, media_type string",
+    )
+    md = {r["doc_id"]: r for r in multimodal.extract_metadata(media).collect()}
+    assert md[1]["n_bytes"] == 0
+    imgs = {r["doc_id"]: r for r in multimodal.decode_images(media).collect()}
+    assert not imgs[1]["decoded"]
+    auds = {r["doc_id"]: r for r in multimodal.decode_audios(media).collect()}
+    assert not auds[1]["decoded"]
+    rs = multimodal.resize_images(media, width=4, height=4).collect()
+    assert all(len(bytes(r["payload"])) == 16 for r in rs)
+    fr = multimodal.sample_frames(media, n_frames=2, frame_bytes=8).collect()
+    assert len(fr) == 4
+    ft = multimodal.fake_features(media).collect()
+    assert all(len(r["features"]) == 8 for r in ft)
