@@ -10,9 +10,10 @@ round-trip identities ``decode(encode(col))`` per codec and dtype
 manifest/statistics queries, and the training-data ops (dedup,
 similarity, text analysis) over documents/embeddings.
 
-``oracle_sql()`` — DuckDB-equivalent SQL per query; omitted for
-non-SQL-expressible ops (codec-choice introspection, MinHash/SimHash
-candidates, ANN) which the driver records as rows-only checks.
+``oracle_sql()`` — DuckDB-equivalent SQL per query.  As of round 6
+every query has one: non-SQL internals (MinHash/SimHash/ANN bucketing,
+the codec auto-selector) are checked through seeded
+constants-by-construction invariants instead of raw dumps.
 
 DRIVER BUDGET: the driver records the FIRST 50 queries only (round 2
 defined 63 and the last 13 — all of similarity/ANN/multimodal — got no
@@ -60,7 +61,11 @@ _ROUNDTRIPS: list[tuple[str, str, str, str]] = [
     # SAME column, and selector dispatch stays covered by the remaining
     # rt_auto_* rows + codec_choices_lineitem — freed row funds the
     # oracle-green emb_quantize_roundtrip entry)
-    ("rt_auto_orderkey", "lineitem", "l_orderkey", "auto"),  # int64
+    # (rt_auto_orderkey folded round 6: the column's int64 codec path is
+    # pinned by rt_for_orderkey, and auto-dispatch is now pinned HARDER
+    # by codec_choice_invariants, which asserts WHICH codec class the
+    # selector picks on seeded shapes — freed row funds the planted
+    # media-decode coverage in functions/registry.py)
     ("rt_auto_partsize", "part", "p_size", "auto"),  # int32
     # (rt_auto_doctext folded: long-string auto selection is covered by
     # rt_fsst_doctext on the same column + codec_choices_lineitem)
@@ -123,12 +128,45 @@ def _q_chunk_counts_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_codec_choices_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Auto-selector decisions per column (rows-only: not SQL-expressible)."""
+def _q_codec_choice_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auto-selector decisions pinned by seeded invariants with a
+    constant oracle (upgrades round 5's rows-only codec_choices_lineitem
+    dump — the last no-oracle row): a constant int column MUST land in
+    the run/dict/FOR compact class at <5% of content size; a
+    max-entropy unique-string column (md5 hex of the lineitem PK) MUST
+    NOT pick the dictionary; a 3-value flag string MUST pick a
+    dictionary/run codec.  Each invariant holds for EVERY chunk at any
+    partitioning (constant chunks select deterministically; unique
+    strings can never make DICT the min), so the aggregated booleans
+    are constants-by-construction.  The full per-column choice table
+    stays available via encode_summary / the CLI `stats` subcommand and
+    the entry() flagship."""
+    from pyspark.sql import functions as F
+
     from parquetjs_spark import pipeline
 
-    df = _load(spark, sf_dir, "lineitem")
-    return pipeline.encode_summary(pipeline.encode_columns(df))
+    df = _load(spark, sf_dir, "lineitem").select(
+        F.lit(7).cast("long").alias("const_int"),
+        F.md5(
+            F.concat_ws("_", "l_orderkey", "l_linenumber")
+        ).alias("unique_str"),
+        F.col("l_returnflag").alias("lowcard_str"),
+    )
+    s = pipeline.encode_summary(pipeline.encode_columns(df))
+    compact = F.col("codec").isin("RLE", "DICT_RLE", "FOR_BITPACK")
+    inv = (
+        F.when(
+            F.col("column") == "const_int",
+            compact & (F.col("encoded_bytes") < 0.05 * F.col("content_bytes")),
+        )
+        .when(F.col("column") == "unique_str", F.col("codec") != "DICT_RLE")
+        .otherwise(F.col("codec").isin("DICT_RLE", "RLE"))
+    )
+    return (
+        s.groupBy(F.col("column").alias("col_name"))
+        .agg(F.bool_and(inv).alias("invariant_ok"))
+        .orderBy("col_name")
+    )
 
 
 def _q_verify_all_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -441,7 +479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out[name] = _make_roundtrip(table, column, codec)
     out["scan_eq_partkey"] = _q_scan_eq_partkey
     out["chunk_counts_lineitem"] = _q_chunk_counts_lineitem
-    out["codec_choices_lineitem"] = _q_codec_choices_lineitem
+    out["codec_choice_invariants"] = _q_codec_choice_invariants
     out["verify_all_lineitem"] = _q_verify_all_lineitem
     out["rt_table_lineitem"] = _q_rt_table_lineitem
     out["rt_table_events"] = _q_rt_table_events
@@ -479,7 +517,11 @@ def oracle_sql() -> dict[str, str]:
         f"CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM lineitem"
         for c in _li_cols
     )
-    # codec_choices_lineitem: rows-only by design (selector introspection)
+    out["codec_choice_invariants"] = (
+        "SELECT 'const_int' AS col_name, true AS invariant_ok "
+        "UNION ALL SELECT 'lowcard_str', true "
+        "UNION ALL SELECT 'unique_str', true"
+    )
     out["verify_all_lineitem"] = (
         "SELECT CAST(11 AS BIGINT) AS columns_verified, "
         "CAST(11 * (SELECT COUNT(*) FROM lineitem) AS BIGINT) "

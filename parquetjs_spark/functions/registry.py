@@ -37,10 +37,45 @@ def q_doc_token_counts_bpe(spark, sf_dir):
     return text.token_counts_bpe(_docs(spark, sf_dir))
 
 
-def q_doc_fingerprints(spark, sf_dir):
+# (q_doc_fingerprints folded round 6: md5(text) per doc is computed —
+# through the full encode pipeline — by rt_flba_digest's oracle on the
+# SAME column; text.fingerprints stays pytest-covered.  Freed row funds
+# the oracle-green normalize_text row.)
+
+
+def q_normalize_text(spark, sf_dir):
+    """Text canonicalization (lower / whitespace-collapse / trim) — the
+    pass that precedes exact dedup.  Pure JVM built-ins with a direct
+    SQL oracle (driver evidence for the round-5 pytest-only op)."""
     from . import text
 
-    return text.fingerprints(_docs(spark, sf_dir))
+    return text.normalize_text(_docs(spark, sf_dir)).select("doc_id", "text")
+
+
+def q_sample_corpus_split(spark, sf_dir):
+    """Deterministic hash-mod corpus split, driver-checked via its core
+    invariant: sample(30%) and its complement — evaluated as two
+    INDEPENDENT distributed jobs — must exactly partition the corpus
+    (union multiset-equals all doc_ids; a rand()-based sampler would
+    both drop and duplicate rows across two evaluations and fail the
+    value hash).  Rate accuracy and seed separation stay pytest-pinned
+    (the bucket hash itself is xxhash64, not SQL)."""
+    from . import text
+
+    docs = _docs(spark, sf_dir)
+    s = text.sample_corpus(docs, 30).select("doc_id")
+    c = text.sample_corpus(docs, 30, complement=True).select("doc_id")
+    return s.unionByName(c)
+
+
+def q_corpus_token_freq(spark, sf_dir):
+    """Corpus-level token frequency table (tokenizer-training first
+    pass): explode -> groupBy(token) -> count with map-side partials.
+    Fully SQL-expressible — GROUP BY count over the same whitespace
+    split (driver evidence for the round-5 pytest-only op)."""
+    from . import text
+
+    return text.corpus_token_frequencies(_docs(spark, sf_dir))
 
 
 def q_doc_lang_id(spark, sf_dir):
@@ -147,16 +182,12 @@ def q_dup_clusters_seeded(spark, sf_dir):
     return dedup.dup_clusters(pairs)
 
 
-def q_distinct_doc_count(spark, sf_dir):
-    from . import dedup
-
-    return dedup.distinct_doc_count(_docs(spark, sf_dir))
-
-
-def q_char_jaccard_adjacent(spark, sf_dir):
-    from . import dedup
-
-    return dedup.char_jaccard_adjacent(_docs(spark, sf_dir))
+# (q_distinct_doc_count folded round 6: COUNT(DISTINCT text) is the
+# same groupBy-text plan exact_dup_groups_seeded already verifies;
+# q_char_jaccard_adjacent folded round 6: the set-intersection/union
+# Jaccard math is verified by ngram_jaccard_pairs over n-gram sets.
+# Both operators stay pytest-covered; freed rows fund the planted
+# decode_images/decode_audios rows below.)
 
 
 def q_simhash_fingerprints(spark, sf_dir):
@@ -412,13 +443,86 @@ def q_media_resize(spark, sf_dir):
     )
 
 
-def q_media_frame_sample(spark, sf_dir):
+# (q_media_frame_sample folded round 6: the byte-slice stand-in kernel
+# and the 1->n fan-out shape stay pytest-covered; the REAL media decode
+# paths get the two planted rows below instead — stronger evidence for
+# the same mapInPandas plumbing at 1/4 the row count.)
+
+
+# WAV header for the planted-audio row: every byte < 0x80 by
+# construction (rate 4096 -> byte_rate 8192, both NUL-padded powers of
+# two), so the whole payload round-trips through a Spark UTF-8 encode()
+# of an ASCII string — buildable per-row in pure SQL, hence
+# DuckDB-reproducible.  8 mono samples, 16-bit PCM.
+_WAV_HEADER = (
+    b"RIFF" + (52).to_bytes(4, "little") + b"WAVE"
+    + b"fmt " + (16).to_bytes(4, "little")
+    + (1).to_bytes(2, "little")      # PCM
+    + (1).to_bytes(2, "little")      # mono
+    + (4096).to_bytes(4, "little")   # sample rate
+    + (8192).to_bytes(4, "little")   # byte rate
+    + (2).to_bytes(2, "little")      # block align
+    + (16).to_bytes(2, "little")     # bits per sample
+    + b"data" + (16).to_bytes(4, "little")
+).decode("ascii")
+assert all(ord(ch) < 0x80 for ch in _WAV_HEADER)
+
+
+def q_decode_images_planted(spark, sf_dir):
+    """REAL image decode, driver-checked (upgrades the round-5
+    pytest-only decode_images): each doc gets a pure-SQL-constructed
+    2x2 PPM(P6) payload whose 12 pixel bytes are chr(65 + doc_id % 26)
+    — so the decoded dims, decoded flag and pixel md5 are all
+    constants-by-construction that DuckDB rebuilds from doc_id alone.
+    The payload goes through the same Arrow-batched mapInPandas decode
+    stage real image bytes would."""
     from pyspark.sql import functions as F
 
     from . import multimodal
 
-    out = multimodal.sample_frames(multimodal.as_media_table(_docs(spark, sf_dir)))
-    return out.select("doc_id", "frame_idx", F.md5("frame").alias("frame_md5"))
+    media = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.encode(
+            F.concat(
+                F.lit("P6\n2 2\n255\n"),
+                F.expr("repeat(char(65 + doc_id % 26), 12)"),
+            ),
+            "UTF-8",
+        ).alias("payload"),
+    )
+    out = multimodal.decode_images(media)
+    return out.select(
+        "doc_id", "height", "width", "decoded",
+        F.md5("pixels").alias("pixels_md5"),
+    )
+
+
+def q_decode_audios_planted(spark, sf_dir):
+    """REAL audio decode, driver-checked (upgrades the round-5
+    pytest-only decode_audios): a pure-SQL RIFF/WAVE 16-bit PCM payload
+    (all-ASCII header above + 16 PCM bytes of chr(65 + doc_id % 26),
+    i.e. 8 mono samples of value c*257) runs through the distributed
+    RIFF chunk walk; sample count, channels, rate, decoded flag and the
+    PCM md5 are constants-by-construction."""
+    from pyspark.sql import functions as F
+
+    from . import multimodal
+
+    media = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.encode(
+            F.concat(
+                F.lit(_WAV_HEADER),
+                F.expr("repeat(char(65 + doc_id % 26), 16)"),
+            ),
+            "UTF-8",
+        ).alias("payload"),
+    )
+    out = multimodal.decode_audios(media)
+    return out.select(
+        "doc_id", "n_samples", "channels", "sample_rate", "decoded",
+        F.md5("pcm").alias("pcm_md5"),
+    )
 
 
 def q_media_features(spark, sf_dir):
@@ -477,8 +581,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sanity queries over the raw table, not engine operators).
     # simhash_fingerprints folded round 4 (raw-fingerprint determinism is
     # exercised inside simhash_near_dup_seeded + pytest) to fund the
-    # oracle-green paragraph-dedup row within the 50-query window
+    # oracle-green paragraph-dedup row within the 50-query window.
+    # Round 6: distinct_doc_count / char_jaccard_adjacent /
+    # media_frame_sample / doc_fingerprints folded (see notes at each)
+    # to fund oracle rows for the round-5 operators, which lead the
+    # window as the least-recently-verified block.
     return {
+        "decode_images_planted": q_decode_images_planted,
+        "decode_audios_planted": q_decode_audios_planted,
+        "normalize_text_docs": q_normalize_text,
+        "sample_corpus_split": q_sample_corpus_split,
+        "corpus_token_freq": q_corpus_token_freq,
         "emb_lsh_planted_dup": q_emb_lsh_planted_dup,
         "emb_ivf_planted_dup": q_emb_ivf_planted_dup,
         "doc_rolling_fp_seeded": q_doc_rolling_fp_seeded,
@@ -492,17 +605,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup_pairs": q_emb_near_dup_pairs,
         "media_metadata": q_media_metadata,
         "media_resize": q_media_resize,
-        "media_frame_sample": q_media_frame_sample,
         "media_features": q_media_features,
         "doc_token_counts": q_doc_token_counts,
         "doc_token_counts_bpe": q_doc_token_counts_bpe,
         "doc_quality": q_doc_quality,
-        "doc_fingerprints": q_doc_fingerprints,
         "doc_lang_id": q_doc_lang_id,
         "exact_dup_groups_seeded": q_exact_dup_groups_seeded,
         "minhash_dedup_pairs_seeded": q_minhash_dedup_pairs_seeded,
-        "distinct_doc_count": q_distinct_doc_count,
-        "char_jaccard_adjacent": q_char_jaccard_adjacent,
     }
 
 
@@ -522,7 +631,34 @@ def oracle_sql() -> dict[str, str]:
             "['and', 'for', 'in', 'is', 'it', 'of', 'the', 'to'], lower(x)))) AS BIGINT) AS n_stopword_tokens "
             "FROM documents"
         ),
-        "doc_fingerprints": "SELECT doc_id, md5(text) AS fp FROM documents",
+        "normalize_text_docs": (
+            "SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) "
+            "AS text FROM documents"
+        ),
+        # the bucket hash (xxhash64) is not SQL, but exact-partition IS:
+        # sample ∪ complement must multiset-equal the corpus ids
+        "sample_corpus_split": "SELECT doc_id FROM documents",
+        "corpus_token_freq": (
+            "SELECT token, COUNT(*) AS n FROM (SELECT unnest(list_filter("
+            "string_split_regex(text, '\\s+'), t -> t != '')) AS token "
+            "FROM documents) GROUP BY token"
+        ),
+        # planted-payload media decode: payloads are pure functions of
+        # doc_id, so the decoded shape + pixel/PCM digests are
+        # constants-by-construction
+        "decode_images_planted": (
+            "SELECT doc_id, CAST(2 AS INTEGER) AS height, "
+            "CAST(2 AS INTEGER) AS width, true AS decoded, "
+            "md5(repeat(chr(CAST(65 + doc_id % 26 AS INTEGER)), 12)) "
+            "AS pixels_md5 FROM documents"
+        ),
+        "decode_audios_planted": (
+            "SELECT doc_id, CAST(8 AS BIGINT) AS n_samples, "
+            "CAST(1 AS INTEGER) AS channels, "
+            "CAST(4096 AS INTEGER) AS sample_rate, true AS decoded, "
+            "md5(repeat(chr(CAST(65 + doc_id % 26 AS INTEGER)), 16)) "
+            "AS pcm_md5 FROM documents"
+        ),
         "doc_token_counts_bpe": (
             "SELECT doc_id, CAST(len(regexp_extract_all(text, "
             r"'\w+|[^\w\s]')) AS BIGINT) AS n_bpe_tokens FROM documents"
@@ -618,17 +754,6 @@ def oracle_sql() -> dict[str, str]:
             "CAST(64 AS INTEGER) AS agree "
             "FROM documents WHERE doc_id % 10 = 0"
         ),
-        "distinct_doc_count": (
-            "SELECT COUNT(DISTINCT text) AS distinct_docs FROM documents"
-        ),
-        "char_jaccard_adjacent": (
-            "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
-            "CAST(len(list_intersect(a.cs, b.cs)) AS BIGINT) AS inter_sz, "
-            "CAST(len(list_distinct(list_concat(a.cs, b.cs))) AS BIGINT) AS union_sz "
-            "FROM (SELECT doc_id, list_distinct(string_split(text, '')) AS cs FROM documents) a "
-            "JOIN (SELECT doc_id, list_distinct(string_split(text, '')) AS cs FROM documents) b "
-            "ON b.doc_id = a.doc_id + 1"
-        ),
         # minhash/simhash/ngram pairs: custom stable hashing -> rows-only
         "dup_clusters_seeded": (
             f"WITH s AS (SELECT * FROM {_SEEDED_ORACLE_SRC} t), "
@@ -682,15 +807,6 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, md5(rpad(text, 4096, chr(0))) AS pixels_md5, "
             "CAST(64 AS INTEGER) AS width, CAST(64 AS INTEGER) AS height "
             "FROM documents"
-        ),
-        "media_frame_sample": (
-            "WITH f AS (SELECT doc_id, text, "
-            "GREATEST(1, CAST(strlen(text) // 4 AS INT)) AS step "
-            "FROM documents) "
-            "SELECT doc_id, CAST(i AS INTEGER) AS frame_idx, "
-            "md5(rpad(substr(text, i * step + 1, 256), 256, chr(0))) "
-            "AS frame_md5 "
-            "FROM f, (SELECT unnest(generate_series(0, 3)) AS i) g"
         ),
         # media_features' fake encoder seeds the vector from
         # sha256(payload): f0 = float32(le_u32(digest[0:4])) / 2^32 —

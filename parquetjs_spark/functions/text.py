@@ -209,15 +209,20 @@ def normalize_text(
 
 
 def sample_corpus(
-    docs: DataFrame, rate_pct: int, key: str = "doc_id", seed: int = 0
+    docs: DataFrame, rate_pct: int, key: str = "doc_id", seed: int = 0,
+    complement: bool = False,
 ) -> DataFrame:
     """Deterministic corpus sampling: keep rows where
     xxhash64(seed, key) mod 100 < rate_pct.  Unlike DataFrame.sample()
     this is a pure function of the KEY — reproducible across runs,
     partitionings and cluster sizes (resume-safe), and the complement
-    (train/holdout split) is exact: the same predicate with the
-    opposite inequality.  One narrow filter, pushdown-friendly."""
+    (train/holdout split) is exact: ``complement=True`` keeps precisely
+    the other rows, so sample ∪ complement is the corpus and the
+    intersection is empty BY CONSTRUCTION — a rand()-based sampler
+    evaluated as two independent jobs guarantees neither.  One narrow
+    filter, pushdown-friendly."""
     if not 0 <= rate_pct <= 100:
         raise ValueError("rate_pct in [0, 100]")
     bucket = F.pmod(F.xxhash64(F.lit(seed), F.col(key)), F.lit(100))
-    return docs.where(bucket < rate_pct)
+    pred = bucket < rate_pct
+    return docs.where(~pred if complement else pred)

@@ -47,8 +47,13 @@ def test_never_verified_ops_lead_the_window():
         "emb_near_dup_pairs",
         "media_metadata",
         "media_resize",
-        "media_frame_sample",
         "media_features",
+        "decode_images_planted",
+        "decode_audios_planted",
+        "normalize_text_docs",
+        "sample_corpus_split",
+        "corpus_token_freq",
+        "codec_choice_invariants",
         "rt_flba_digest",
         "rt_decimal_price",
         "rt_arrstructstruct_lineitem",
