@@ -131,6 +131,27 @@ _PTYPE = {
     "time_ns": "INT64",
 }
 
+def codec_supports(codec: str, dtype: str) -> bool:
+    """Static codec/dtype compatibility — used by the CLI to reject a
+    type-incompatible forced --codec with a clean exit 2 before the job
+    starts, instead of a raw executor traceback mid-encode.  Mirrors
+    the ``_encode_values`` dispatch: list dtypes check their leaf
+    element, decimals ride the int64 unscaled path.  Data-dependent
+    constraints (RLE non-negativity, FLBA equal lengths) are not
+    static and still raise at encode time."""
+    while dtype.startswith("list_"):
+        dtype = dtype[len("list_"):]
+    if dtype.startswith("decimal("):
+        dtype = "int64"
+    if dtype in _INT_LIKE:
+        if codec in (PLAIN, FOR_BITPACK, DICT_RLE, RLE):
+            return True
+        return codec in (BSS, INT96) and dtype != "bool"
+    if dtype in ("float64", "float32"):
+        return codec in (PLAIN, DICT_RLE, BSS)
+    return codec in (PLAIN, FLBA, DICT_RLE, FSST)
+
+
 SAMPLE_VALUES = 4096  # selector cardinality/run sample
 # selector FSST-vs-zlib measurement sample: must be >> zlib's 32 KB
 # window or PLAIN+zlib looks artificially strong (measured on the

@@ -40,9 +40,35 @@ def _spark(args):
 def cmd_encode(args) -> int:
     from pyspark.sql import functions as F
 
-    from parquetjs_spark import pipeline
+    from parquetjs_spark import codecs, pipeline
+    from parquetjs_spark.codecs import compress as _comp
 
     from parquetjs_spark.sources.iceberg import load_source_table
+
+    # validate forced codec/compression BEFORE spinning up the job —
+    # a typo'd flag otherwise surfaces as a raw executor-side traceback
+    # mid-encode, inconsistent with the clean exit-2 predicate checks
+    def _norm(v):
+        v = (v or "auto")
+        return "auto" if v.lower() == "auto" else v.upper()
+
+    args.codec = _norm(args.codec)
+    args.compression = _norm(args.compression)
+    if args.codec != "auto" and args.codec not in codecs.CODEC_IDS:
+        print(
+            f"error: unknown --codec {args.codec!r} "
+            f"(choose from auto, {', '.join(sorted(codecs.CODEC_IDS))})",
+            file=sys.stderr,
+        )
+        return 2
+    avail = _comp.available()
+    if args.compression != "auto" and args.compression not in avail:
+        print(
+            f"error: unknown --compression {args.compression!r} "
+            f"(choose from auto, {', '.join(avail)})",
+            file=sys.stderr,
+        )
+        return 2
 
     spark = _spark(args)
     try:
@@ -60,6 +86,27 @@ def cmd_encode(args) -> int:
             file=sys.stderr,
         )
         return 2
+    if args.codec != "auto":
+        from parquetjs_spark import chunk as chunklib
+
+        bad = []
+        for f_ in df.schema.fields:
+            if cols is not None and f_.name not in cols:
+                continue
+            try:
+                dt = pipeline.logical_dtype(f_.dataType)
+            except ValueError:
+                continue  # nested shapes validate per-leaf at encode time
+            if not chunklib.codec_supports(args.codec, dt):
+                bad.append(f"{f_.name} ({dt})")
+        if bad:
+            print(
+                f"error: --codec {args.codec} is incompatible with "
+                f"column(s) {', '.join(bad)}; select compatible columns "
+                "with --columns or use --codec auto",
+                file=sys.stderr,
+            )
+            return 2
     if args.cluster_by:
         df = pipeline.clustered_repartition(df, args.cluster_by, args.partitions)
     elif args.salt_key:
@@ -186,11 +233,15 @@ def _typed_literal(dtype: str, raw: str):
         if dtype == "date" or dtype.startswith("timestamp"):
             import datetime as _dt
 
-            # ISO parse check only; the scan normalizes the string
+            # ISO parse check only; the scan normalizes the string.
+            # Accept a trailing 'Z' on any interpreter: Python < 3.11
+            # fromisoformat rejects it even though it's the most common
+            # UTC suffix in the wild
             if dtype == "date":
                 _dt.date.fromisoformat(raw)
             else:
-                _dt.datetime.fromisoformat(raw)
+                probe = raw[:-1] + "+00:00" if raw.endswith(("Z", "z")) else raw
+                _dt.datetime.fromisoformat(probe)
             return raw
     except ValueError:
         print(

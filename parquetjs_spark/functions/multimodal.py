@@ -288,6 +288,14 @@ def decode_audio(payload: bytes) -> "tuple[np.ndarray, int]":
     while pos + 8 <= len(b):
         cid = b[pos : pos + 4]
         size = int.from_bytes(b[pos + 4 : pos + 8], "little")
+        if pos + 8 + size > len(b):
+            # a declared size past EOF would silently shorten the body
+            # slice (and floor the sample count) — raise like every
+            # other malformed-input path instead of truncating
+            raise ValueError(
+                f"WAV truncated: chunk {cid!r} declares {size} bytes, "
+                f"{len(b) - pos - 8} remain"
+            )
         body = b[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
             fmt = body

@@ -1137,6 +1137,9 @@ def _normalize_eq_literal(dtype: str, value):
             value = _dt.date(1970, 1, 1) + _dt.timedelta(days=probe_val)
     elif dtype == "timestamp_us":
         if isinstance(value, str):
+            # Python < 3.11 fromisoformat rejects a trailing 'Z'
+            if value.endswith(("Z", "z")):
+                value = value[:-1] + "+00:00"
             value = _dt.datetime.fromisoformat(value)
         if isinstance(value, _dt.datetime):
             if value.tzinfo is not None:

@@ -15,9 +15,12 @@ fixed-size keys instead of document texts.  The hash width is an
 explicit exactness trade (round-4 ADVICE — a single 64-bit hash is NOT
 exact at scale):
 
-* ``key_mode="hash128"`` (default): two independent xxhash64 values,
-  16-byte state entries.  Expected collisions at 10^10 distinct keys
-  ~ n^2 / 2^129 ≈ 1e-19 — "exact" at any realistic corpus size.
+* ``key_mode="hash128"`` (default): two xxhash64 values (the second
+  seed-chained with a literal prefix — effectively independent for
+  non-adversarial keys, not provably so), 16-byte state entries.
+  Under that independence approximation, expected collisions at 10^10
+  distinct keys ~ n^2 / 2^129 ≈ 1e-19 — "exact" at any realistic
+  corpus size.
 * ``key_mode="hash64"``: one xxhash64, 8-byte entries.  Expected
   collisions at 10^10 keys ≈ 2.7 — each collision silently DROPS a
   distinct document.  Only for state-size-critical jobs that tolerate
@@ -56,6 +59,16 @@ def dedup_stream(
     from the same checkpoint keeps the seen-set (exactly-once).
     ``key_mode`` picks the state-key representation (module docstring:
     hash128 default / hash64 small-state / exact raw columns)."""
+    if key_mode in ("hash64", "hash128"):
+        clash = {"__dedup_key", "__dedup_key2"} & set(stream_df.columns)
+        if clash:
+            # withColumn would silently REPLACE a same-named source
+            # column, then the final drop would delete user data
+            raise ValueError(
+                f"source column(s) {sorted(clash)} collide with the "
+                "injected dedup key names; rename them or use "
+                "key_mode='exact'"
+            )
     cols = [F.col(c) for c in key_cols]
     if key_mode == "hash64":
         keyed = stream_df.withColumn("__dedup_key", F.xxhash64(*cols))

@@ -171,3 +171,55 @@ def test_predicate_conflicts_and_ambiguous_dots(encoded_events, tmp_path):
         with pytest.raises(SystemExit) as e:
             cli.main(argv)
         assert e.value.code == 2
+
+
+def test_encode_rejects_unknown_codec_and_compression(tmp_path, capsys):
+    """ADVICE r5: a typo'd --codec/--compression exits 2 with a clean
+    message BEFORE any job starts (input is never even opened), instead
+    of a raw executor traceback mid-encode."""
+    rc = cli.main([
+        "encode", "--input", str(tmp_path / "never-read"),
+        "--output", str(tmp_path / "o"), "--codec", "ZSTD1",
+    ])
+    assert rc == 2
+    assert "unknown --codec" in capsys.readouterr().err
+    rc = cli.main([
+        "encode", "--input", str(tmp_path / "never-read"),
+        "--output", str(tmp_path / "o"), "--compression", "ZST",
+    ])
+    assert rc == 2
+    assert "unknown --compression" in capsys.readouterr().err
+
+
+def test_encode_rejects_type_incompatible_forced_codec(tmp_path, spark, capsys):
+    """Forcing a numeric-only codec on a table with a string column
+    exits 2 naming the offending column; restricting --columns to the
+    compatible one succeeds."""
+    src = str(tmp_path / "mix.parquet")
+    spark.createDataFrame(
+        [(i, "s%d" % i, float(i)) for i in range(64)],
+        "rid long, s string, x double",
+    ).write.parquet(src)
+    rc = cli.main([
+        "encode", "--input", src, "--output", str(tmp_path / "o1"),
+        "--codec", "BYTE_STREAM_SPLIT",
+    ])
+    assert rc == 2
+    assert "s (string)" in capsys.readouterr().err
+    rc = cli.main([
+        "encode", "--input", src, "--output", str(tmp_path / "o2"),
+        "--columns", "x", "--codec", "byte_stream_split",  # case-insensitive
+    ])
+    assert rc == 0
+
+
+def test_eq_timestamp_z_suffix(encoded_events, tmp_path, capsys):
+    """A trailing-'Z' UTC timestamp literal validates and scans (the
+    fixture's naive timestamps compare as UTC wall-clock)."""
+    rc = cli.main([
+        "where", "--input", encoded_events,
+        "--eq", "ts=2020-01-01T01:30:00Z",
+        "--columns", "rid,ts", "--output", str(tmp_path / "z"),
+    ])
+    assert rc == 0
+    assert _parse_lines(capsys)[-1]["rows"] == 3  # i = 21, 91, 161

@@ -745,3 +745,18 @@ def test_media_udfs_tolerate_null_payloads(spark):
     assert len(fr) == 4
     ft = multimodal.fake_features(media).collect()
     assert all(len(r["features"]) == 8 for r in ft)
+
+
+def test_decode_audio_truncated_wav_raises():
+    """ADVICE r5: a data chunk whose declared size overruns the payload
+    must raise, not silently decode fewer samples."""
+    import numpy as np
+    import pytest as _pt
+
+    from parquetjs_spark.functions import multimodal
+
+    wav = multimodal.encode_wav(
+        np.arange(16, dtype=np.int16).reshape(8, 2), 8000
+    )
+    with _pt.raises(ValueError, match="truncated"):
+        multimodal.decode_audio(wav[:-4])

@@ -183,3 +183,16 @@ def test_stream_dedup_then_encode_compose(tmp_path, spark):
     assert sorted(r["text"] for r in out.collect()) == sorted(
         "doc %d" % i for i in range(7)
     )
+
+
+def test_dedup_stream_rejects_key_name_collision(spark, tmp_path):
+    """A source column named like the injected hash-key columns would be
+    silently overwritten then dropped — the guard raises instead."""
+    import pytest as _pt
+
+    from parquetjs_spark.streaming import dedup_stream
+
+    df = spark.createDataFrame([(1, "a")], "__dedup_key long, text string")
+    with _pt.raises(ValueError, match="collide"):
+        dedup_stream(df, str(tmp_path / "o"), str(tmp_path / "c"),
+                     key_cols=("text",))
