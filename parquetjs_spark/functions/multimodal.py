@@ -2,11 +2,12 @@
 
 Image/audio/video travel as ``binary`` columns with a metadata struct;
 decode / feature-extraction run as Arrow-batched ``mapInPandas`` stages.
-Uncompressed formats decode for REAL in pure NumPy: binary PPM (P6) and
-24-bit BI_RGB BMP images (``decode_image``/``decode_images``), and
+These formats decode for REAL in pure NumPy: binary PPM (P6), 24-bit
+BI_RGB BMP and non-interlaced 8-bit PNG images (``decode_image``/
+``decode_images`` — PNG rides stdlib zlib for the inflate), and
 RIFF/WAVE 16-bit PCM audio (``decode_audio``/``decode_audios``).
-Compressed formats (JPEG/PNG/MP3/video codecs) remain honestly stubbed
-because the container has no imaging/codec libraries.  Everything
+Formats needing codec libraries (JPEG/WebP/MP3/video) remain honestly
+stubbed because the container has none.  Everything
 Spark-side — schema, batching, partitioning, UDF signatures — is real
 and tested, and resize/features take the real pixel/sample path when
 the payload magic parses.
@@ -18,6 +19,8 @@ At scale: payloads dominate partition size, so re-chunk by bytes
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from typing import Iterator
 
 import numpy as np
@@ -166,24 +169,174 @@ def _parse_bmp(b: bytes) -> "np.ndarray | None":
         return None
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_unfilter(raw: bytes, h: int, w: int, ch: int) -> "np.ndarray":
+    """Reverse the PNG per-row filters (None/Sub/Up/Average/Paeth) on the
+    inflated scanline stream -> (h, w*ch) uint8.  Up is fully vectorized;
+    Sub uses the mod-256 cumsum identity per byte-lane; Average/Paeth
+    walk pixels left-to-right (inherently sequential) but operate on
+    whole-channel vectors."""
+    stride = w * ch
+    if len(raw) < h * (stride + 1):
+        raise ValueError("PNG scanline stream shorter than h*(stride+1)")
+    lines = np.frombuffer(raw, dtype=np.uint8, count=h * (stride + 1)).reshape(
+        h, stride + 1
+    )
+    ftypes = lines[:, 0]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f = int(ftypes[y])
+        row = lines[y, 1:].astype(np.int32)
+        if f == 0:  # None
+            rec = row
+        elif f == 1:  # Sub: rec[x] = row[x] + rec[x-ch]  (mod 256)
+            rec = row.reshape(w, ch).cumsum(axis=0).reshape(stride) & 0xFF
+        elif f == 2:  # Up
+            rec = (row + prior) & 0xFF
+        elif f == 3:  # Average
+            rec = np.empty(stride, dtype=np.int32)
+            left = np.zeros(ch, dtype=np.int32)
+            p32 = prior.astype(np.int32)
+            for x in range(0, stride, ch):
+                left = (row[x : x + ch] + ((left + p32[x : x + ch]) >> 1)) & 0xFF
+                rec[x : x + ch] = left
+        elif f == 4:  # Paeth
+            rec = np.empty(stride, dtype=np.int32)
+            a = np.zeros(ch, dtype=np.int32)  # left
+            c = np.zeros(ch, dtype=np.int32)  # upper-left
+            p32 = prior.astype(np.int32)
+            for x in range(0, stride, ch):
+                b_ = p32[x : x + ch]
+                p = a + b_ - c
+                pa, pb, pc = np.abs(p - a), np.abs(p - b_), np.abs(p - c)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b_, c)
+                )
+                a = (row[x : x + ch] + pred) & 0xFF
+                rec[x : x + ch] = a
+                c = b_
+        else:
+            raise ValueError(f"PNG filter type {f} invalid")
+        prior = out[y] = rec.astype(np.uint8)
+    return out
+
+
+def _parse_png(b: bytes) -> "np.ndarray | None":
+    """PNG -> HxWx3 uint8 RGB via stdlib zlib, pure NumPy unfiltering.
+    Handles non-interlaced 8-bit depth in all five color types (gray,
+    RGB, palette, gray+alpha, RGBA; alpha dropped).  Returns None when
+    the payload is not a structurally valid PNG (bad magic, CRC
+    mismatch, truncated chunk walk); raises NotImplementedError for
+    valid PNGs using features outside that profile (16-bit, interlaced)
+    — same contract as _parse_ppm/_parse_bmp."""
+    if not b.startswith(_PNG_MAGIC):
+        return None
+    try:
+        pos, ihdr, plte, idat = len(_PNG_MAGIC), None, None, []
+        while pos + 8 <= len(b):
+            (length,) = struct.unpack(">I", b[pos : pos + 4])
+            ctype = b[pos + 4 : pos + 8]
+            body = b[pos + 8 : pos + 8 + length]
+            if len(body) < length or pos + 12 + length > len(b):
+                return None  # truncated chunk
+            (crc,) = struct.unpack(">I", b[pos + 8 + length : pos + 12 + length])
+            if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+                return None
+            if ctype == b"IHDR":
+                ihdr = body
+            elif ctype == b"PLTE":
+                plte = body
+            elif ctype == b"IDAT":
+                idat.append(body)
+            elif ctype == b"IEND":
+                break
+            pos += 12 + length
+        if ihdr is None or len(ihdr) < 13 or not idat:
+            return None
+        w, h, depth, color, comp, filt, interlace = struct.unpack(
+            ">IIBBBBB", ihdr[:13]
+        )
+        if w <= 0 or h <= 0 or comp != 0 or filt != 0:
+            return None
+        if depth != 8 or interlace != 0:
+            raise NotImplementedError(
+                f"PNG depth={depth} interlace={interlace} unsupported "
+                "(non-interlaced 8-bit only)"
+            )
+        channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+        if channels is None:
+            return None
+        raw = zlib.decompress(b"".join(idat))
+        px = _png_unfilter(raw, h, w, channels).reshape(h, w, channels)
+        if color == 3:  # palette lookup
+            if plte is None or len(plte) % 3:
+                return None
+            pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+            if int(px.max(initial=0)) >= len(pal):
+                return None
+            return pal[px[:, :, 0]].copy()
+        if color == 0:
+            return np.repeat(px, 3, axis=2).copy()
+        if color == 4:
+            return np.repeat(px[:, :, :1], 3, axis=2).copy()
+        return px[:, :, :3].copy()  # RGB / RGBA (alpha dropped)
+    except NotImplementedError:
+        raise
+    except Exception:
+        return None
+
+
+def encode_png(img: "np.ndarray") -> bytes:
+    """HxWx3 uint8 -> non-interlaced 8-bit RGB PNG (filter 0 rows,
+    stdlib zlib) — the inverse of decode_image's PNG path, used by the
+    hypothesis round-trip property and the planted-payload oracle."""
+    arr = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w = arr.shape[0], arr.shape[1]
+    raw = np.concatenate(
+        [np.zeros((h, 1), dtype=np.uint8), arr.reshape(h, w * 3)], axis=1
+    ).tobytes()
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_image(payload: bytes) -> "np.ndarray":
     """Decode an image payload to an HxWx3 uint8 RGB array.
 
-    Real, pure-NumPy decoders for the uncompressed formats this
-    container can handle without an imaging library: binary PPM (P6)
-    and 24-bit BI_RGB BMP.  Compressed formats (JPEG/PNG/WebP) still
-    raise — libjpeg/PIL are absent here; the Spark-side contract
-    (binary in, HxWxC array out) is identical either way."""
+    Real, pure-NumPy decoders for the formats this container can handle
+    without an imaging library: binary PPM (P6), 24-bit BI_RGB BMP, and
+    non-interlaced 8-bit PNG (stdlib zlib inflate + vectorized
+    unfiltering; gray/RGB/palette/alpha color types, alpha dropped).
+    JPEG/WebP still raise — libjpeg is absent here; the Spark-side
+    contract (binary in, HxWxC array out) is identical either way."""
     b = bytes(payload)
     img = _parse_ppm(b)
     if img is None:
         img = _parse_bmp(b)
+    if img is None:
+        img = _parse_png(b)
     if img is not None:
         return img
     raise NotImplementedError(
-        "only PPM(P6) and 24-bit BMP decode natively; compressed formats "
-        "(JPEG/PNG/...) require an imaging library not present in this "
-        "environment — use fake_features() for pipeline testing"
+        "only PPM(P6), 24-bit BMP and non-interlaced 8-bit PNG decode "
+        "natively; JPEG/WebP require an imaging library not present in "
+        "this environment — use fake_features() for pipeline testing"
     )
 
 
@@ -212,6 +365,8 @@ def _try_decode(b: bytes) -> "np.ndarray | None":
         img = _parse_ppm(b)
         if img is None:
             img = _parse_bmp(b)
+        if img is None:
+            img = _parse_png(b)
         return img
     except NotImplementedError:
         return None
@@ -387,8 +542,8 @@ RESIZE_SCHEMA = T.StructType(
 
 def resize_images(media: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
     """Resize stage: binary in -> resized binary + dims out, Arrow-
-    batched.  Payloads whose magic parses as PPM(P6)/24-bit BMP take the
-    REAL path: decode -> nearest-neighbor resample -> re-encode as P6
+    batched.  Payloads whose magic parses as PPM(P6)/24-bit BMP/8-bit
+    PNG take the REAL path: decode -> nearest-neighbor resample -> re-encode as P6
     (self-describing, so resize output composes with decode_image
     downstream).  Anything else keeps the deterministic byte-level
     stand-in (strided subsample / zero-pad) — same schema, batching and

@@ -475,12 +475,21 @@ def q_decode_images_planted(spark, sf_dir):
     — so the decoded dims, decoded flag and pixel md5 are all
     constants-by-construction that DuckDB rebuilds from doc_id alone.
     The payload goes through the same Arrow-batched mapInPandas decode
-    stage real image bytes would."""
+    stage real image bytes would.
+
+    Round 6 adds a PNG arm: the same 2x2 letter image wrapped as a real
+    zlib-deflated PNG (26 distinct payloads built driver-side with
+    encode_png, broadcast-joined on doc_id % 26).  The decode OUTPUT —
+    dims, decoded flag, pixel md5 — is byte-identical to the PPM arm's
+    constants, so the oracle stays pure SQL while the driver row
+    exercises the inflate + unfilter path distributed."""
+    import numpy as np
     from pyspark.sql import functions as F
 
     from . import multimodal
 
-    media = _docs(spark, sf_dir).select(
+    docs = _docs(spark, sf_dir)
+    ppm = docs.select(
         "doc_id",
         F.encode(
             F.concat(
@@ -490,9 +499,34 @@ def q_decode_images_planted(spark, sf_dir):
             "UTF-8",
         ).alias("payload"),
     )
-    out = multimodal.decode_images(media)
+    png_payloads = spark.createDataFrame(
+        [
+            (
+                i,
+                bytearray(
+                    multimodal.encode_png(
+                        np.full((2, 2, 3), 65 + i, dtype=np.uint8)
+                    )
+                ),
+            )
+            for i in range(26)
+        ],
+        "letter_idx int, payload binary",
+    )
+    png = (
+        docs.select(
+            "doc_id", (F.col("doc_id") % 26).cast("int").alias("letter_idx")
+        )
+        .join(F.broadcast(png_payloads), "letter_idx")
+        .select("doc_id", "payload")
+    )
+    out = multimodal.decode_images(ppm).withColumn(
+        "fmt", F.lit("ppm")
+    ).unionByName(
+        multimodal.decode_images(png).withColumn("fmt", F.lit("png"))
+    )
     return out.select(
-        "doc_id", "height", "width", "decoded",
+        "doc_id", "fmt", "height", "width", "decoded",
         F.md5("pixels").alias("pixels_md5"),
     )
 
@@ -647,10 +681,11 @@ def oracle_sql() -> dict[str, str]:
         # doc_id, so the decoded shape + pixel/PCM digests are
         # constants-by-construction
         "decode_images_planted": (
-            "SELECT doc_id, CAST(2 AS INTEGER) AS height, "
+            "SELECT doc_id, fmt, CAST(2 AS INTEGER) AS height, "
             "CAST(2 AS INTEGER) AS width, true AS decoded, "
             "md5(repeat(chr(CAST(65 + doc_id % 26 AS INTEGER)), 12)) "
-            "AS pixels_md5 FROM documents"
+            "AS pixels_md5 FROM documents "
+            "CROSS JOIN (SELECT unnest(['ppm', 'png']) AS fmt)"
         ),
         "decode_audios_planted": (
             "SELECT doc_id, CAST(8 AS BIGINT) AS n_samples, "

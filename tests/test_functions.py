@@ -747,6 +747,173 @@ def test_media_udfs_tolerate_null_payloads(spark):
     assert all(len(r["features"]) == 8 for r in ft)
 
 
+def _png_chunk(ctype, body):
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def _png_with_filters(img, ftype):
+    """Hand-build a color-type-2 PNG whose every scanline uses filter
+    `ftype` — exercises each unfilter branch independently (encode_png
+    only emits filter 0)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from parquetjs_spark.functions.multimodal import _PNG_MAGIC
+
+    h, w, ch = img.shape
+    arr = img.reshape(h, w * ch).astype(np.int32)
+    rows, prior = [], np.zeros(w * ch, dtype=np.int32)
+    for y in range(h):
+        row = arr[y]
+        left = np.zeros_like(row)
+        left[ch:] = row[:-ch]
+        if ftype == 0:
+            f = row
+        elif ftype == 1:
+            f = (row - left) & 0xFF
+        elif ftype == 2:
+            f = (row - prior) & 0xFF
+        elif ftype == 3:
+            f = (row - ((left + prior) >> 1)) & 0xFF
+        else:  # Paeth
+            ul = np.zeros_like(prior)
+            ul[ch:] = prior[:-ch]
+            p = left + prior - ul
+            pa, pb, pc = abs(p - left), abs(p - prior), abs(p - ul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prior, ul)
+            )
+            f = (row - pred) & 0xFF
+        rows.append(bytes([ftype]) + f.astype(np.uint8).tobytes())
+        prior = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(rows)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def test_png_decode_all_filters_and_color_types():
+    """Every PNG filter type (None/Sub/Up/Average/Paeth) and color type
+    (gray, RGB, palette, gray+alpha, RGBA) decodes to the exact pixels;
+    structural damage returns None; valid-but-unsupported raises."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest as _pt
+
+    from parquetjs_spark.functions import multimodal
+    from parquetjs_spark.functions.multimodal import _PNG_MAGIC, _parse_png
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (13, 9, 3), dtype=np.uint8)
+    for ftype in range(5):
+        out = _parse_png(_png_with_filters(img, ftype))
+        assert out is not None and np.array_equal(out, img), f"filter {ftype}"
+
+    def onechunk(color, raw, extra=b""):
+        ihdr = struct.pack(">IIBBBBB", 9, 13, 8, color, 0, 0, 0)
+        return (
+            _PNG_MAGIC
+            + _png_chunk(b"IHDR", ihdr)
+            + extra
+            + _png_chunk(b"IDAT", zlib.compress(raw))
+            + _png_chunk(b"IEND", b"")
+        )
+
+    # gray (0): value broadcast to RGB
+    g = rng.integers(0, 256, (13, 9), dtype=np.uint8)
+    raw = b"".join(b"\x00" + g[y].tobytes() for y in range(13))
+    out = _parse_png(onechunk(0, raw))
+    assert np.array_equal(out, np.repeat(g[:, :, None], 3, axis=2))
+    # palette (3): PLTE lookup
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (13, 9), dtype=np.uint8)
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(13))
+    out = _parse_png(onechunk(3, raw, _png_chunk(b"PLTE", pal.tobytes())))
+    assert np.array_equal(out, pal[idx])
+    # palette index out of range -> None, not a crash
+    bad_pal = pal[:4]
+    assert (
+        _parse_png(onechunk(3, raw, _png_chunk(b"PLTE", bad_pal.tobytes())))
+        is None
+    )
+    # gray+alpha (4) and RGBA (6): alpha dropped
+    ga = rng.integers(0, 256, (13, 9, 2), dtype=np.uint8)
+    raw = b"".join(b"\x00" + ga[y].tobytes() for y in range(13))
+    out = _parse_png(onechunk(4, raw))
+    assert np.array_equal(out, np.repeat(ga[:, :, :1], 3, axis=2))
+    rgba = rng.integers(0, 256, (13, 9, 4), dtype=np.uint8)
+    raw = b"".join(b"\x00" + rgba[y].tobytes() for y in range(13))
+    assert np.array_equal(_parse_png(onechunk(6, raw)), rgba[:, :, :3])
+
+    # CRC corruption -> None (falls back to decoded=false, never wrong pixels)
+    good = multimodal.encode_png(img)
+    bad = bytearray(good)
+    bad[-5] ^= 0xFF
+    assert _parse_png(bytes(bad)) is None
+    # truncated mid-IDAT -> None (a complete IHDR+IDAT without the
+    # trailing IEND still decodes, like most real readers)
+    assert _parse_png(good[: len(good) // 2]) is None
+    # interlaced / 16-bit: valid PNG features we honestly don't do
+    for depth, interlace in ((8, 1), (16, 0)):
+        ihdr = struct.pack(">IIBBBBB", 9, 13, depth, 2, 0, 0, interlace)
+        b = (
+            _PNG_MAGIC
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 28))
+            + _png_chunk(b"IEND", b"")
+        )
+        with _pt.raises(NotImplementedError):
+            _parse_png(b)
+
+
+def test_decode_images_png_table_stage(spark):
+    """PNG payloads take the real path through the table-level stage and
+    resize: decoded=true with exact pixel bytes, and the resize output
+    is a decodable P6 with the nearest-neighbor pixels."""
+    import numpy as np
+
+    from parquetjs_spark.functions import multimodal
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (20, 30, 3), dtype=np.uint8)
+    corrupt = bytearray(multimodal.encode_png(img))
+    corrupt[-5] ^= 0xFF
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(multimodal.encode_png(img)), "image/png"),
+            (2, bytearray(corrupt), "image/png"),
+        ],
+        "doc_id long, payload binary, media_type string",
+    )
+    rows = {r["doc_id"]: r for r in multimodal.decode_images(media).collect()}
+    assert rows[1]["decoded"] and (rows[1]["height"], rows[1]["width"]) == (20, 30)
+    assert bytes(rows[1]["pixels"]) == img.tobytes()
+    assert not rows[2]["decoded"] and rows[2]["pixels"] is None
+
+    rz = {
+        r["doc_id"]: r
+        for r in multimodal.resize_images(media, width=8, height=8).collect()
+    }
+    rr = (np.arange(8) * 20) // 8
+    cc = (np.arange(8) * 30) // 8
+    assert bytes(rz[1]["payload"]) == multimodal.encode_ppm(img[rr][:, cc])
+
+
 def test_decode_audio_truncated_wav_raises():
     """ADVICE r5: a data chunk whose declared size overruns the payload
     must raise, not silently decode fewer samples."""

@@ -410,6 +410,24 @@ def test_ppm_bmp_wav_roundtrip_property(h, w, seed):
 
 
 @FAST
+@given(
+    st.integers(1, 16),
+    st.integers(1, 16),
+    st.integers(0, 2**32 - 1),
+)
+def test_png_roundtrip_property(h, w, seed):
+    """decode(encode_png(x)) == x over random shapes — the PNG path
+    (zlib inflate + unfilter) added in round 6."""
+    from parquetjs_spark.functions import multimodal
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert np.array_equal(
+        multimodal.decode_image(multimodal.encode_png(img)), img
+    )
+
+
+@FAST
 @given(st.lists(st.floats(-1e4, 1e4, width=32), min_size=1, max_size=32),
        st.integers(0, 2**31 - 1))
 def test_quantize_error_bound_property(vals, _seed):
