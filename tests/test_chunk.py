@@ -279,6 +279,44 @@ def test_bss_roundtrip_and_autoselect():
     assert out_w.to_numpy().tobytes() == walk.to_numpy().tobytes()
 
 
+def test_bss_golden_plane_bytes():
+    """Golden-byte pin for the BSS wire layout (VERDICT r5 item 7): the
+    k-th plane holds the k-th little-endian byte of every value,
+    planes concatenated in byte-position order — pinned for float64,
+    int64 and int32 so the wire can't drift silently."""
+    from parquetjs_spark.codecs import bss
+
+    # float64: 1.0 = 3FF0_0000_0000_0000, -2.0 = C000_0000_0000_0000 (LE)
+    f = np.array([1.0, -2.0], dtype=np.float64)
+    want_f = bytes(
+        [0x00, 0x00] * 6  # planes 0-5: zeros for both values
+        + [0xF0, 0x00]    # plane 6
+        + [0x3F, 0xC0]    # plane 7 (sign/exponent high byte)
+    )
+    enc = bss.encode(f)
+    assert enc == want_f
+    assert bss.decode(enc, 2, np.float64).tobytes() == f.tobytes()
+
+    # int64: 0x0807060504030201 and 0x1817161514131211 —
+    # plane k = [k+1, k+0x11]
+    i = np.array([0x0807060504030201, 0x1817161514131211], dtype=np.int64)
+    want_i = bytes(b for k in range(8) for b in (k + 1, k + 0x11))
+    enc = bss.encode(i)
+    assert enc == want_i
+    assert bss.decode(enc, 2, np.int64).tolist() == i.tolist()
+
+    # int32 incl. a negative: -2 = FE FF FF FF (LE two's complement)
+    i32 = np.array([0x04030201, -2], dtype=np.int32)
+    want_32 = bytes([0x01, 0xFE, 0x02, 0xFF, 0x03, 0xFF, 0x04, 0xFF])
+    enc = bss.encode(i32)
+    assert enc == want_32
+    assert bss.decode(enc, 2, np.int32).tolist() == i32.tolist()
+
+    # empty chunk: zero bytes both directions
+    assert bss.encode(np.empty(0, dtype=np.int64)) == b""
+    assert bss.decode(b"", 0, np.int64).tolist() == []
+
+
 def test_bss_int_roundtrip_and_autoselect():
     """BSS extends to int-like dtypes (Parquet spec v2.11): forced
     round-trips for int64/int32, and the measured selector picks BSS on
