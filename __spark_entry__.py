@@ -78,7 +78,11 @@ _ROUNDTRIPS: list[tuple[str, str, str, str]] = [
     ("rt_dict_suppkey", "lineitem", "l_suppkey", "DICT_RLE"),  # int dict
     ("rt_for_orderkey", "lineitem", "l_orderkey", "FOR_BITPACK"),
     ("rt_rle_linenumber", "lineitem", "l_linenumber", "RLE"),
-    ("rt_plain_extendedprice", "lineitem", "l_extendedprice", "PLAIN"),
+    # (rt_plain_extendedprice folded round 6: PLAIN float64 stays pinned
+    # by l_extendedprice inside rt_table_lineitem + verify_all_lineitem
+    # and the PLAIN string wire by rt_plain_comment_props — freed row
+    # funds the new INCREMENTAL front-coding codec's round-trip)
+    ("rt_incr_ptype", "part", "p_type", "INCREMENTAL"),
     ("rt_plain_comment_props", "events", "props", "PLAIN"),  # nullable str
     ("rt_fsst_doctext", "documents", "text", "FSST"),
 ]

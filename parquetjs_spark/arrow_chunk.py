@@ -39,12 +39,14 @@ from .codecs import (
     DICT_RLE,
     FLBA,
     FSST,
+    INCR,
     PLAIN,
     RLE,
     bloom as bloomlib,
     compress as comp,
     for_bp,
     fsst,
+    incr as incrlib,
     plain,
     rle,
     strstream,
@@ -263,6 +265,18 @@ def _decode_fsst_block(buf: memoryview, n: int) -> StrBlock:
     return StrBlock(concat, offsets)
 
 
+def _encode_incr_block(block: StrBlock) -> bytes:
+    """Front-coded byte arrays (codecs/incr): selected only through the
+    measured post-compression comparison — sorted/clustered paths, URLs,
+    ids (where it measured 0.57-0.69x of PLAIN+zstd)."""
+    return incrlib.encode_offsets(block.offsets, block.data)
+
+
+def _decode_incr_block(buf: memoryview, n: int) -> StrBlock:
+    offsets, payload = incrlib.decode_offsets(buf, n)
+    return StrBlock(payload, offsets)
+
+
 # --------------------------------------------------------------------------
 # selector over StrBlock (same policy as chunk.select_codec)
 # --------------------------------------------------------------------------
@@ -319,6 +333,7 @@ def _select_string_codec(block: StrBlock, fsst_state: dict | None) -> tuple[str,
     # cardinality alone is no reason to skip — when the uniques carry
     # most of the bytes (long repeated documents), dict saves little and
     # FSST still competes on the byte content itself.
+    plain_post_z = False
     if total > 0 and cands[DICT_RLE] > 0.35 * cands[PLAIN]:
         # bounded bytes copy of the sample (train slices per byte)
         concat = bytes(sample.concat_bytes()[:SAMPLE_BYTES])
@@ -335,6 +350,29 @@ def _select_string_codec(block: StrBlock, fsst_state: dict | None) -> tuple[str,
             cands[FSST] = int(fsst_z * total) + 2 * len(table) + n + 16
             if cands[FSST] > 0.9 * cands[PLAIN]:
                 cands.pop(FSST)
+            plain_post_z = True
+    # INCREMENTAL candidacy: cheap adjacent-lcp probe first (prefix
+    # structure is the entire win; unsorted data measured ~1.03x of
+    # PLAIN post-z), then the same measured post-compression comparison
+    # BSS/FSST use.  INCR decode is the one non-O(1)-numpy string
+    # decode, so demand a clear (>8%) win over post-z PLAIN.
+    if total > 0 and n >= 2:
+        probe = incrlib.mean_lcp_probe(sample.offsets, sample.data)
+        if probe >= 8.0:
+            enc_i = incrlib.encode_offsets(sample.offsets, sample.data)
+            incr_z = min(len(enc_i), comp.size_estimate(enc_i)) / max(
+                1, sample.total
+            )
+            if not plain_post_z:
+                concat_p = bytes(sample.concat_bytes()[:SAMPLE_BYTES])
+                if len(concat_p):
+                    pz = comp.size_estimate(concat_p) / len(concat_p)
+                    cands[PLAIN] = int(pz * total) + n
+                    plain_post_z = True
+            info["mean_lcp"] = round(probe, 1)
+            cands[INCR] = int(incr_z * total) + n
+            if cands[INCR] > 0.92 * cands[PLAIN]:
+                cands.pop(INCR)
     info.update(cardinality=card, runs=runs, sizes=cands)
     choice = min(cands, key=cands.get)
     if fsst_state is not None:
@@ -643,6 +681,8 @@ def _encode_list_column(
             elem_raw = _encode_dict_block(elem_values)
         elif codec == FSST:
             elem_raw = _encode_fsst_block(elem_values, fsst_state)
+        elif codec == INCR:
+            elem_raw = _encode_incr_block(elem_values)
         else:
             raise ValueError(f"codec {codec} unsupported for {dtype}")
         content = elem_values.total
@@ -696,6 +736,8 @@ def _decode_list_column(
             elems = _decode_dict_block(elem_mv, n_vals)
         elif codec == FSST:
             elems = _decode_fsst_block(elem_mv, n_vals)
+        elif codec == INCR:
+            elems = _decode_incr_block(elem_mv, n_vals)
         else:
             raise ValueError(f"codec {codec} unsupported for {dtype}")
         child = _values_to_arrow(elems, elem_valid, elem_dtype)
@@ -865,6 +907,8 @@ def encode_arrow_column(
             values_raw = _encode_dict_block(values)
         elif codec == FSST:
             values_raw = _encode_fsst_block(values, fsst_state)
+        elif codec == INCR:
+            values_raw = _encode_incr_block(values)
         else:
             raise ValueError(f"codec {codec} unsupported for {dtype}")
         content_bytes = values.total
@@ -971,6 +1015,8 @@ def decode_arrow_column(blob: bytes | memoryview) -> tuple[pa.Array, str]:
             block = _decode_dict_block(memoryview(values_raw), nn)
         elif codec == FSST:
             block = _decode_fsst_block(memoryview(values_raw), nn)
+        elif codec == INCR:
+            block = _decode_incr_block(memoryview(values_raw), nn)
         else:
             raise ValueError(f"codec {codec} unsupported for {dtype}")
         return _values_to_arrow(block, valid, dtype), dtype

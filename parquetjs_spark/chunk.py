@@ -34,6 +34,7 @@ import pandas as pd
 from .codecs import (
     BSS,
     CODEC_IDS,
+    INCR,
     INT96,
     CODEC_NAMES,
     DICT_RLE,
@@ -47,6 +48,7 @@ from .codecs import (
     dictionary,
     for_bp,
     fsst,
+    incr,
     plain,
     rle,
     strstream,
@@ -149,7 +151,7 @@ def codec_supports(codec: str, dtype: str) -> bool:
         return codec in (BSS, INT96) and dtype != "bool"
     if dtype in ("float64", "float32"):
         return codec in (PLAIN, DICT_RLE, BSS)
-    return codec in (PLAIN, FLBA, DICT_RLE, FSST)
+    return codec in (PLAIN, FLBA, DICT_RLE, FSST, INCR)
 
 
 SAMPLE_VALUES = 4096  # selector cardinality/run sample
@@ -415,6 +417,8 @@ def _encode_values(vals, dtype: str, codec: str, fsst_table=None, fsst_state=Non
         return dictionary.encode(vals, "BYTE_ARRAY")
     if codec == FSST:
         return _encode_fsst_strings(vals, fsst_table, fsst_state)
+    if codec == INCR:
+        return incr.encode(list(vals))
     raise ValueError(f"codec {codec} unsupported for {dtype}")
 
 
@@ -438,6 +442,8 @@ def _decode_values(buf: memoryview, n: int, dtype: str, codec: str):
         return list(dictionary.decode(buf, n, "BYTE_ARRAY"))
     if codec == FSST:
         return _decode_fsst_strings(buf, n)
+    if codec == INCR:
+        return incr.decode(buf, n)
     raise ValueError(f"codec {codec} unsupported for {dtype}")
 
 
@@ -549,6 +555,7 @@ def select_codec(vals, dtype: str, fsst_state: dict | None = None) -> tuple[str,
     sample_vals = vals[: max(1, min(n, SAMPLE_VALUES))]
     ds = dictionary.stats(sample_vals, "BYTE_ARRAY")
     scale = n / len(sample_vals)
+    plain_post_z = False
     cands = {PLAIN: total + n, DICT_RLE: int(ds["est_size"] * scale)}
     if n and (lens == lens[0]).all():
         # uniform widths (hashes, fixed ids) -> FLBA, raw concat + u32
@@ -580,6 +587,30 @@ def select_codec(vals, dtype: str, fsst_state: dict | None = None) -> tuple[str,
             # FSST costs ~2x the CPU of PLAIN+zlib: require a >10% size win
             if cands[FSST] > 0.9 * cands[PLAIN]:
                 cands.pop(FSST)
+            plain_post_z = True
+    # INCREMENTAL candidacy (same policy as arrow_chunk's selector):
+    # cheap adjacent-lcp probe, then measured post-compression compare;
+    # decode is the slowest string path so demand a >8% win.
+    if total > 0 and n >= 2:
+        head = sample_vals[:65]
+        lens_h = np.fromiter((len(v) for v in head), dtype=np.int64, count=len(head))
+        offs_h = np.zeros(len(head) + 1, dtype=np.int64)
+        np.cumsum(lens_h, out=offs_h[1:])
+        probe = incr.mean_lcp_probe(offs_h, b"".join(head))
+        if probe >= 8.0:
+            enc_i = incr.encode(list(sample_vals))
+            stot = int(sum(len(v) for v in sample_vals))
+            incr_z = min(len(enc_i), comp.size_estimate(enc_i)) / max(1, stot)
+            if not plain_post_z:
+                concat_p = b"".join(sample_vals)[:SAMPLE_BYTES]
+                if len(concat_p):
+                    pz = comp.size_estimate(concat_p) / len(concat_p)
+                    cands[PLAIN] = int(pz * total) + n
+                    plain_post_z = True
+            info["mean_lcp"] = round(probe, 1)
+            cands[INCR] = int(incr_z * total) + n
+            if cands[INCR] > 0.92 * cands[PLAIN]:
+                cands.pop(INCR)
     info.update(cardinality=ds["cardinality"], runs=ds["runs"], sizes=cands)
     choice = min(cands, key=cands.get)
     if fsst_state is not None:

@@ -3,7 +3,8 @@
 FSST per the north rule."""
 
 from . import (
-    bloom, bss, compress, dictionary, for_bp, fsst, plain, rle, strstream, util,
+    bloom, bss, compress, dictionary, for_bp, fsst, incr, plain, rle, strstream,
+    util,
 )
 
 PLAIN = "PLAIN"
@@ -19,10 +20,12 @@ BSS = "BYTE_STREAM_SPLIT"
 # 12-byte sign-extended int64 (reference lib/codec/plain.js:70-103
 # parity; deprecated in the spec — forced-only interop codec)
 INT96 = "INT96"
+# front-coded byte arrays (Parquet DELTA_BYTE_ARRAY idea; codecs/incr.py)
+INCR = "INCREMENTAL"
 
 CODEC_IDS = {
     PLAIN: 0, RLE: 1, DICT_RLE: 2, FOR_BITPACK: 3, FSST: 4, FLBA: 5, BSS: 6,
-    INT96: 7,
+    INT96: 7, INCR: 8,
 }
 CODEC_NAMES = {v: k for k, v in CODEC_IDS.items()}
 
@@ -33,6 +36,7 @@ __all__ = [
     "dictionary",
     "for_bp",
     "fsst",
+    "incr",
     "plain",
     "rle",
     "strstream",
@@ -45,6 +49,7 @@ __all__ = [
     "FLBA",
     "BSS",
     "INT96",
+    "INCR",
     "CODEC_IDS",
     "CODEC_NAMES",
 ]

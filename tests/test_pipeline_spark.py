@@ -1207,3 +1207,39 @@ def test_int96_pipeline_roundtrip(spark):
     assert sorted(map(repr, dec.collect())) == sorted(
         map(repr, df.select("l_shipdate").collect())
     )
+
+
+def test_incr_pipeline_autoselect_and_verify(spark):
+    """INCREMENTAL through the full Spark pipeline: the selector picks
+    it per-chunk on sorted path-like strings, sha-verify passes, decode
+    matches exactly, and the encoded table is smaller than forced
+    PLAIN on the same data."""
+    import random
+
+    rng = random.Random(11)
+    paths = sorted(
+        f"src/module_{i % 40:02d}/pkg_{i % 7}/file_{i:05d}_{rng.randrange(1000):03d}.py"
+        for i in range(20000)
+    )
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(paths)], "rid long, path string"
+    ).coalesce(1)
+    blobs = pipeline.encode_columns(df, ["path"], chunk_rows=4096).cache()
+    try:
+        codecs_used = {r["codec"] for r in blobs.select("codec").distinct().collect()}
+        assert "INCREMENTAL" in codecs_used
+        assert pipeline.verify_blobs(blobs).where(~F.col("ok")).count() == 0
+        got = sorted(
+            r["path"] for r in pipeline.decode_column(blobs, "path").collect()
+        )
+        assert got == paths
+        auto_bytes = sum(
+            r["b"] for r in blobs.selectExpr("octet_length(data) b").collect()
+        )
+    finally:
+        blobs.unpersist()
+    plain_blobs = pipeline.encode_columns(df, ["path"], codec="PLAIN", chunk_rows=4096)
+    plain_bytes = sum(
+        r["b"] for r in plain_blobs.selectExpr("octet_length(data) b").collect()
+    )
+    assert auto_bytes < plain_bytes

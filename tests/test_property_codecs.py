@@ -463,3 +463,40 @@ def test_bss_roundtrip_property(values):
     a = np.asarray(values, dtype=np.float64)
     out = bss.decode(bss.encode(a), len(a), np.float64)
     assert out.tobytes() == a.tobytes()
+
+
+@given(
+    st.lists(st.binary(min_size=0, max_size=120), min_size=0, max_size=300),
+    st.booleans(),
+)
+@settings(max_examples=60, deadline=None)
+def test_incr_roundtrip_property(values, do_sort):
+    """INCREMENTAL front-coding is lossless for arbitrary byte arrays,
+    sorted (the winning shape) or not."""
+    from parquetjs_spark.codecs import incr
+
+    if do_sort:
+        values = sorted(values)
+    assert incr.decode(incr.encode(values), len(values)) == values
+
+
+@given(st.lists(st.binary(min_size=0, max_size=120), min_size=2, max_size=200))
+@settings(max_examples=40, deadline=None)
+def test_incr_prefix_lens_match_python_lcp(values):
+    """The vectorized capped lcp equals the obvious per-pair Python lcp."""
+    import os
+
+    from parquetjs_spark.codecs import incr
+
+    lens = np.array([len(v) for v in values], dtype=np.int64)
+    offs = np.zeros(len(values) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    got = incr.prefix_lens(offs, b"".join(values))
+    want = [0] + [
+        min(
+            len(os.path.commonprefix([values[i - 1], values[i]])),
+            incr.PREFIX_CAP,
+        )
+        for i in range(1, len(values))
+    ]
+    assert got.tolist() == want
