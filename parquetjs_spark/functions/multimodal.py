@@ -421,6 +421,162 @@ def decode_images(media: DataFrame) -> DataFrame:
     )
 
 
+# --- header-only image probing (no pixel decode) -----------------------------
+
+PROBE_IMAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("decodable", T.BooleanType()),
+    ]
+)
+
+# PNG color type -> delivered channel count (palette expands to RGB)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 3, 4: 2, 6: 4}
+
+
+def _probe_jpeg(b: bytes) -> "dict | None":
+    """JPEG dimensions from the SOF segment header — a plain marker
+    walk, no entropy decode.  SOF markers are 0xC0-0xCF excluding DHT
+    (0xC4), JPG (0xC8) and DAC (0xCC); the segment body is
+    [precision u8][height u16 BE][width u16 BE][n_components u8]."""
+    if len(b) < 4 or b[0:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            return None  # desynchronized stream
+        marker = b[pos + 1]
+        if marker == 0xFF:  # fill bytes before a marker
+            pos += 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2  # standalone markers carry no length
+            continue
+        if marker == 0xD9:  # EOI before any SOF
+            return None
+        seg_len = int.from_bytes(b[pos + 2 : pos + 4], "big")
+        if seg_len < 2 or pos + 2 + seg_len > len(b):
+            return None
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            body = b[pos + 4 : pos + 2 + seg_len]
+            if len(body) < 6:
+                return None
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+            return {"format": "jpeg", "width": w, "height": h, "channels": body[5]}
+        pos += 2 + seg_len
+    return None
+
+
+def probe_image(payload: bytes) -> "dict | None":
+    """Header-only metadata for an image payload: format, dimensions,
+    channel count and whether the native pixel decoders can decode it.
+    Covers the decodable formats (PPM/BMP/PNG) AND the header-parsable
+    compressed ones (JPEG via the SOF walk, GIF via the logical screen
+    descriptor) — the op a corpus pipeline uses to filter by
+    resolution/aspect WITHOUT paying for pixel decode or needing codec
+    libraries.  Returns None when no magic matches."""
+    b = bytes(payload)
+    if b[:2] == b"P6" and len(b) > 2 and b[2:3].isspace():
+        # ASCII header: whitespace/comment-separated width height maxval
+        fields, pos = [], 2
+        while len(fields) < 3 and pos < min(len(b), 512):
+            if b[pos : pos + 1].isspace():
+                pos += 1
+            elif b[pos : pos + 1] == b"#":
+                pos = b.find(b"\n", pos)
+                if pos < 0:
+                    return None
+            elif b[pos : pos + 1].isdigit():
+                end = pos
+                while end < len(b) and b[end : end + 1].isdigit():
+                    end += 1
+                fields.append(int(b[pos:end]))
+                pos = end
+            else:
+                return None
+        if len(fields) < 3:
+            return None
+        w, h, maxval = fields
+        return {
+            "format": "ppm", "width": w, "height": h, "channels": 3,
+            "decodable": maxval == 255,
+        }
+    if b[:2] == b"BM" and len(b) >= 30:
+        w = int.from_bytes(b[18:22], "little", signed=True)
+        h = abs(int.from_bytes(b[22:26], "little", signed=True))
+        bpp = int.from_bytes(b[28:30], "little")
+        comp = int.from_bytes(b[30:34], "little") if len(b) >= 34 else 0
+        return {
+            "format": "bmp", "width": abs(w), "height": h, "channels": 3,
+            "decodable": bpp == 24 and comp == 0,
+        }
+    if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 29:
+        w = int.from_bytes(b[16:20], "big")
+        h = int.from_bytes(b[20:24], "big")
+        depth, color, interlace = b[24], b[25], b[28]
+        return {
+            "format": "png", "width": w, "height": h,
+            "channels": _PNG_CHANNELS.get(color, 0),
+            "decodable": depth == 8 and interlace == 0
+            and color in _PNG_CHANNELS,
+        }
+    if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+        return {
+            "format": "gif",
+            "width": int.from_bytes(b[6:8], "little"),
+            "height": int.from_bytes(b[8:10], "little"),
+            "channels": 3,
+            "decodable": False,  # LZW decode not implemented
+        }
+    j = _probe_jpeg(b)
+    if j is not None:
+        j["decodable"] = False  # entropy decode needs libjpeg
+        return j
+    return None
+
+
+def probe_images(media: DataFrame) -> DataFrame:
+    """Table-level header probe: (doc_id, format, width, height,
+    channels, decodable) per payload; unrecognized/NULL payloads yield
+    format=null rows, never a stage failure.  Narrow Arrow-batched map
+    like decode_images, but reads only header bytes per payload — the
+    cheap first pass a 100 TB image corpus filters on."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fmts, ws, hs, cs, dec = [], [], [], [], []
+            for p in pdf["payload"]:
+                meta = probe_image(b"" if p is None else bytes(p))
+                if meta is None:
+                    fmts.append(None), ws.append(0), hs.append(0)
+                    cs.append(0), dec.append(False)
+                else:
+                    fmts.append(meta["format"])
+                    ws.append(meta["width"])
+                    hs.append(meta["height"])
+                    cs.append(meta["channels"])
+                    dec.append(meta["decodable"])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "format": fmts,
+                    "width": np.asarray(ws, dtype=np.int32),
+                    "height": np.asarray(hs, dtype=np.int32),
+                    "channels": np.asarray(cs, dtype=np.int32),
+                    "decodable": dec,
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        fn, schema=PROBE_IMAGE_SCHEMA
+    )
+
+
 # --- audio: real pure-NumPy decode for uncompressed PCM WAV ------------------
 
 

@@ -927,3 +927,85 @@ def test_decode_audio_truncated_wav_raises():
     )
     with _pt.raises(ValueError, match="truncated"):
         multimodal.decode_audio(wav[:-4])
+
+
+def test_probe_image_header_only():
+    """Header-only probing covers the decodable formats (PPM/BMP/PNG)
+    AND compressed ones the pixel decoders honestly reject: JPEG dims
+    via the SOF marker walk (baseline SOF0, progressive SOF2; DHT's
+    0xC4 marker must not be mistaken for an SOF) and GIF via the
+    logical screen descriptor."""
+    import numpy as np
+
+    from parquetjs_spark.functions import multimodal as M
+
+    img = np.arange(5 * 7 * 3, dtype=np.uint8).reshape(5, 7, 3)
+    assert M.probe_image(M.encode_ppm(img)) == {
+        "format": "ppm", "width": 7, "height": 5, "channels": 3,
+        "decodable": True,
+    }
+    assert M.probe_image(M.encode_png(img)) == {
+        "format": "png", "width": 7, "height": 5, "channels": 3,
+        "decodable": True,
+    }
+
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + bytes(9)
+    sof0 = (
+        b"\xff\xc0" + (17).to_bytes(2, "big") + bytes([8])
+        + (480).to_bytes(2, "big") + (640).to_bytes(2, "big")
+        + bytes([3]) + bytes(9)
+    )
+    jpg = b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+    assert M.probe_image(jpg) == {
+        "format": "jpeg", "width": 640, "height": 480, "channels": 3,
+        "decodable": False,
+    }
+    sof2 = (
+        b"\xff\xc2" + (11).to_bytes(2, "big") + bytes([8])
+        + (10).to_bytes(2, "big") + (20).to_bytes(2, "big")
+        + bytes([1]) + bytes(3)
+    )
+    prog = M.probe_image(b"\xff\xd8" + sof2)
+    assert (prog["width"], prog["height"], prog["channels"]) == (20, 10, 1)
+    dht = b"\xff\xc4" + (5).to_bytes(2, "big") + bytes(3)
+    assert M.probe_image(b"\xff\xd8" + dht + sof0)["width"] == 640
+
+    gif = b"GIF89a" + (320).to_bytes(2, "little") + (200).to_bytes(2, "little")
+    assert M.probe_image(gif + bytes(3)) == {
+        "format": "gif", "width": 320, "height": 200, "channels": 3,
+        "decodable": False,
+    }
+    # malformed / truncated payloads probe as None, never raise
+    for junk in (b"", b"plain text", b"\xff\xd8\xff", b"P6", b"P6 ",
+                 b"GIF89a\x01", b"BM\x00"):
+        assert M.probe_image(junk) is None
+    # 16-bit PPM: dims parse, flagged not-decodable (decoder is 8-bit)
+    deep = M.probe_image(b"P6\n4 2\n65535\n" + bytes(16))
+    assert deep["width"] == 4 and deep["decodable"] is False
+
+
+def test_probe_images_table_stage(spark):
+    """Distributed header probe: per-payload format/dims rows, NULL and
+    unrecognized payloads yield format=null rows, no stage failure."""
+    import numpy as np
+
+    from parquetjs_spark.functions import multimodal as M
+
+    img = np.zeros((3, 5, 3), dtype=np.uint8)
+    gif = b"GIF87a" + (64).to_bytes(2, "little") + (32).to_bytes(2, "little")
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(M.encode_png(img)), "image/png"),
+            (2, bytearray(gif + bytes(3)), "image/gif"),
+            (3, bytearray(b"not an image"), "text/plain"),
+            (4, None, "image/png"),
+        ],
+        "doc_id long, payload binary, media_type string",
+    )
+    rows = {r["doc_id"]: r for r in M.probe_images(media).collect()}
+    assert rows[1]["format"] == "png" and rows[1]["decodable"]
+    assert (rows[1]["width"], rows[1]["height"]) == (5, 3)
+    assert rows[2]["format"] == "gif" and not rows[2]["decodable"]
+    assert (rows[2]["width"], rows[2]["height"]) == (64, 32)
+    assert rows[3]["format"] is None and rows[4]["format"] is None
+    assert len(rows) == 4
