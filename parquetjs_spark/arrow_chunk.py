@@ -359,9 +359,16 @@ def _select_string_codec(block: StrBlock, fsst_state: dict | None) -> tuple[str,
     if total > 0 and n >= 2:
         probe = incrlib.mean_lcp_probe(sample.offsets, sample.data)
         if probe >= 8.0:
-            enc_i = incrlib.encode_offsets(sample.offsets, sample.data)
+            # measured candidate bounded like FSST's: at most SAMPLE_BYTES
+            # of values (a 4096-value sample of long documents is MBs —
+            # encoding + zstd-probing all of it per selector call costs
+            # more than the chunk encode itself)
+            rel = sample.offsets - sample.offsets[0]
+            k = max(2, int(np.searchsorted(rel, SAMPLE_BYTES)))
+            sub = sample.slice_values(k) if k < sample.n else sample
+            enc_i = incrlib.encode_offsets(sub.offsets, sub.data)
             incr_z = min(len(enc_i), comp.size_estimate(enc_i)) / max(
-                1, sample.total
+                1, sub.total
             )
             if not plain_post_z:
                 concat_p = bytes(sample.concat_bytes()[:SAMPLE_BYTES])

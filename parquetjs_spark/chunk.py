@@ -598,8 +598,18 @@ def select_codec(vals, dtype: str, fsst_state: dict | None = None) -> tuple[str,
         np.cumsum(lens_h, out=offs_h[1:])
         probe = incr.mean_lcp_probe(offs_h, b"".join(head))
         if probe >= 8.0:
-            enc_i = incr.encode(list(sample_vals))
-            stot = int(sum(len(v) for v in sample_vals))
+            # bound the measured candidate to ~SAMPLE_BYTES of values,
+            # same cap as the FSST probe above (long-document samples
+            # would otherwise cost more to measure than to encode)
+            acc, k = 0, 0
+            for v in sample_vals:
+                acc += len(v)
+                k += 1
+                if acc >= SAMPLE_BYTES:
+                    break
+            sub_vals = sample_vals[: max(2, k)]
+            enc_i = incr.encode(list(sub_vals))
+            stot = int(sum(len(v) for v in sub_vals))
             incr_z = min(len(enc_i), comp.size_estimate(enc_i)) / max(1, stot)
             if not plain_post_z:
                 concat_p = b"".join(sample_vals)[:SAMPLE_BYTES]

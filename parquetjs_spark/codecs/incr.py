@@ -19,10 +19,13 @@ Wire layout (own format; framing mirrors codecs/strstream):
   slens_enc FOR+bitpack of the n suffix lengths
   payload   concatenated suffix bytes
 
-Encode is fully vectorized: adjacent-pair lcp via one (n-1, m+1) byte
-gather + argmax (prefix search capped at PREFIX_CAP bytes — beyond the
-cap the bytes simply stay in the suffix), suffix extraction via one
-fancy-index gather.  Decode is inherently sequential (value i needs
+Encode: adjacent-pair lcp via one (n-1, m+1) byte gather + argmax
+(prefix search capped at PREFIX_CAP bytes — beyond the cap the bytes
+simply stay in the suffix); suffix extraction via one fancy-index
+gather for short suffixes, or n bounded memcpys when suffixes are long
+(the gather's 16-bytes-per-payload-byte index arrays are fresh-page
+allocations every chunk — on fault-limited VMs that costs more than
+the copy itself).  Decode is inherently sequential (value i needs
 value i-1 materialized) — two bounded memcpys per value into one
 preallocated output buffer; this is the one string codec whose decode
 is not O(1) numpy calls, which is why the selector demands a >8%
@@ -82,13 +85,15 @@ def prefix_lens(offsets: np.ndarray, data) -> np.ndarray:
     lens = np.diff(offs)
     m = np.minimum(lens[:-1], lens[1:]).clip(0, PREFIX_CAP)
     cols = min(int(m.max()), _PASS_COLS) + 1
-    # pad so gathers past the last value stay in bounds (those positions
-    # are either masked by `ii >= m` or resolved by the tail); gather
-    # ONCE over all n value heads — the a/b compare sides are adjacent
-    # row views of the same matrix
-    dp = np.concatenate([d, np.zeros(cols + 1, dtype=np.uint8)])
-    ii = np.arange(cols, dtype=np.int32)[None, :]
-    heads = dp[offs[:-1, None].astype(np.int32) + ii]
+    # gather ONCE over all n value heads — the a/b compare sides are
+    # adjacent row views of the same matrix.  Positions past a value's
+    # end are CLAMPED into bounds rather than padded (padding would copy
+    # the whole data buffer): any clamped cell has ii >= m and is forced
+    # unequal by the mask, so the garbage it reads never matters.
+    ii = np.arange(cols, dtype=np.int64)[None, :]
+    hidx = offs[:-1, None] + ii
+    np.minimum(hidx, d.size - 1, out=hidx)
+    heads = d[hidx]
     neq = (heads[:-1] != heads[1:]) | (ii >= m[:, None])
     first = neq.argmax(axis=1)
     resolved = neq.any(axis=1)  # False only when m > cols and all equal
@@ -122,16 +127,30 @@ def encode_offsets(offsets: np.ndarray, data) -> bytes:
     plens = prefix_lens(offsets, d)
     lens = np.diff(offsets)
     slens = lens - plens
-    # suffix payload: one fancy-index gather over per-value ranges
     starts = offsets[:-1] + plens
     total = int(slens.sum())
-    if total:
+    if not total:
+        payload: bytes | np.ndarray = b""
+    elif total >= 32 * n:
+        # long suffixes: n bounded memcpys into one output buffer.  The
+        # fancy-gather alternative materializes 16 index bytes per
+        # payload byte — freshly faulted pages on every chunk, which on
+        # fault-limited VMs costs seconds per MB-scale chunk.
+        out = np.empty(total, dtype=np.uint8)
+        ov, dv = memoryview(out), memoryview(d)
+        pos = 0
+        for s, l in zip(starts.tolist(), slens.tolist()):
+            if l:
+                ov[pos : pos + l] = dv[s : s + l]
+                pos += l
+        payload = out
+    else:
+        # short suffixes (mean < 32 B): index arrays stay small relative
+        # to n, one fancy-index gather over per-value ranges
         out_offs = np.zeros(n, dtype=np.int64)
         np.cumsum(slens[:-1], out=out_offs[1:])
         idx = np.arange(total, dtype=np.int64) + np.repeat(starts - out_offs, slens)
-        payload = d[idx].tobytes()
-    else:
-        payload = b""
+        payload = d[idx]
     p_enc = for_bp.encode(plens)
     s_enc = for_bp.encode(slens)
     return b"".join(
