@@ -66,7 +66,10 @@ _ROUNDTRIPS: list[tuple[str, str, str, str]] = [
     # by codec_choice_invariants, which asserts WHICH codec class the
     # selector picks on seeded shapes — freed row funds the planted
     # media-decode coverage in functions/registry.py)
-    ("rt_auto_partsize", "part", "p_size", "auto"),  # int32
+    # (rt_auto_partsize folded round 6: int32 auto-dispatch is pinned by
+    # codec_choice_invariants (asserts the selected codec CLASS on seeded
+    # columns) and the int32 wire by rt_rle_linenumber; freed row funds
+    # zorder_key_lineitem, the layout operator's cross-engine oracle)
     # (rt_auto_doctext folded: long-string auto selection is covered by
     # rt_fsst_doctext on the same column + codec_choices_lineitem)
     # (rt_auto_quantity folded round 4: float64 auto = PLAIN path, covered
@@ -171,6 +174,26 @@ def _q_codec_choice_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.bool_and(inv).alias("invariant_ok"))
         .orderBy("col_name")
     )
+
+
+def _q_zorder_key_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout key (functions/cluster.py): Morton interleave of
+    the 16-bit quantized ranks of (l_partkey, l_suppkey) — the sort key
+    zorder_sort clusters on so zone maps prune range scans on EITHER
+    column.  The key is pure BIGINT arithmetic (subtract, multiply,
+    integer DIV, shift/and/or), so DuckDB computing the same expression
+    over the same MIN/MAX stats must agree bit for bit — the oracle IS
+    the cross-engine reproducibility claim."""
+    from parquetjs_spark.functions import cluster
+
+    df = _load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    stats = cluster.column_stats(df, ["l_partkey", "l_suppkey"])
+    keyed = cluster.zorder_key(
+        df, ["l_partkey", "l_suppkey"], stats=stats, key_col="zkey"
+    )
+    return keyed.select("l_orderkey", "l_linenumber", "zkey")
 
 
 def _q_verify_all_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -482,6 +505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for name, table, column, codec in _ROUNDTRIPS:
         out[name] = _make_roundtrip(table, column, codec)
     out["scan_eq_partkey"] = _q_scan_eq_partkey
+    out["zorder_key_lineitem"] = _q_zorder_key_lineitem
     out["chunk_counts_lineitem"] = _q_chunk_counts_lineitem
     out["codec_choice_invariants"] = _q_codec_choice_invariants
     out["verify_all_lineitem"] = _q_verify_all_lineitem
@@ -502,6 +526,24 @@ def oracle_sql() -> dict[str, str]:
         out[name] = f"SELECT {column} FROM {table}"
     out["scan_eq_partkey"] = (
         "SELECT l_partkey FROM lineitem WHERE l_partkey = 50"
+    )
+    # zorder key: the SAME integer arithmetic the Spark plan runs
+    # (functions/cluster.zorder_key_sql), with DuckDB's `//` integer
+    # division and MIN/MAX computed from the table itself.  Bit-for-bit
+    # agreement is the point: the layout key must be engine-independent.
+    from parquetjs_spark.functions.cluster import _interleave_sql as _zo_il
+
+    out["zorder_key_lineitem"] = (
+        "WITH s AS (SELECT MIN(l_partkey) mn1, MAX(l_partkey) mx1, "
+        "MIN(l_suppkey) mn2, MAX(l_suppkey) mx2 FROM lineitem) "
+        "SELECT l_orderkey, l_linenumber, "
+        + _zo_il(["q1", "q2"], 16)
+        + " AS zkey FROM (SELECT l_orderkey, l_linenumber, "
+        "((CAST(l_partkey AS BIGINT) - mn1) * 65535) // "
+        "(CASE WHEN mx1 > mn1 THEN mx1 - mn1 ELSE 1 END) AS q1, "
+        "((CAST(l_suppkey AS BIGINT) - mn2) * 65535) // "
+        "(CASE WHEN mx2 > mn2 THEN mx2 - mn2 ELSE 1 END) AS q2 "
+        "FROM lineitem, s)"
     )
     _li_cols = [
         "l_orderkey",

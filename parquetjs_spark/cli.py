@@ -77,7 +77,13 @@ def cmd_encode(args) -> int:
         print(f"error: {e}", file=sys.stderr)
         return 2
     cols = args.columns.split(",") if args.columns else None
+    zorder_cols = args.zorder.split(",") if args.zorder else []
+    if args.zorder and len(zorder_cols) < 2:
+        print("error: --zorder takes 2+ comma-separated columns "
+              "(one column: use --cluster-by)", file=sys.stderr)
+        return 2
     missing = [c for c in (cols or [])] + ([args.salt_key] if args.salt_key else [])
+    missing += zorder_cols
     missing = [c for c in missing if c not in df.columns]
     if missing:
         print(
@@ -107,7 +113,15 @@ def cmd_encode(args) -> int:
                 file=sys.stderr,
             )
             return 2
-    if args.cluster_by:
+    if zorder_cols:
+        from parquetjs_spark.functions import cluster as _cluster
+
+        try:
+            df = _cluster.zorder_sort(df, zorder_cols, partitions=args.partitions)
+        except ValueError as e:  # non-numeric column etc.
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+    elif args.cluster_by:
         df = pipeline.clustered_repartition(df, args.cluster_by, args.partitions)
     elif args.salt_key:
         df = pipeline.salted_repartition(
@@ -457,6 +471,13 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         help="range-sort on this column before encoding so zone maps / "
         "blooms prune range scans (one extra shuffle at write time)",
+    )
+    pe.add_argument(
+        "--zorder",
+        default=None,
+        help="comma-separated numeric/date/timestamp columns to Morton "
+        "z-order before encoding: range scans on ANY of them prune at "
+        "the chunk level (one extra shuffle at write time)",
     )
     pe.add_argument("--salt-buckets", type=int, default=16)
     pe.add_argument("--resume-from", default=None, help="prior output path (manifest)")

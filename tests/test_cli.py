@@ -223,3 +223,48 @@ def test_eq_timestamp_z_suffix(encoded_events, tmp_path, capsys):
     ])
     assert rc == 0
     assert _parse_lines(capsys)[-1]["rows"] == 3  # i = 21, 91, 161
+
+
+def test_encode_zorder_flag(tmp_path, spark, capsys):
+    """--zorder sorts on the Morton key before encoding: both columns'
+    zone maps prune a mid-range scan, and content survives bit-exact."""
+    src = str(tmp_path / "zsrc.parquet")
+    enc = str(tmp_path / "zenc")
+    spark.createDataFrame(
+        [(i, (i * 2654435761) % 100_000, (i * 40503) % 100_000)
+         for i in range(20_000)],
+        "rid long, a long, b long",
+    ).coalesce(2).write.parquet(src)
+    rc = cli.main([
+        "encode", "--input", src, "--output", enc,
+        "--zorder", "a,b", "--chunk-rows", "512", "--partitions", "4",
+    ])
+    assert rc == 0
+    assert cli.main(["verify", "--input", enc]) == 0
+    capsys.readouterr()
+    rc = cli.main([
+        "stats", "--input", enc,
+        "--range", "a:40000..45000", "--range", "b:40000..45000",
+    ])
+    assert rc == 0
+    by_col = {r["column"]: r for r in _parse_lines(capsys)}
+    for c in ("a", "b"):
+        assert by_col[c]["chunks_kept"] <= 0.5 * by_col[c]["chunks_total"], by_col
+
+
+def test_encode_zorder_flag_validation(tmp_path, spark, capsys):
+    src = str(tmp_path / "zv.parquet")
+    spark.createDataFrame([(1, "x")], "a long, s string").write.parquet(src)
+    # one column -> exit 2 with the cluster-by hint
+    rc = cli.main(["encode", "--input", src, "--output",
+                   str(tmp_path / "o1"), "--zorder", "a"])
+    assert rc == 2
+    # unknown column -> exit 2 (shared missing-column check)
+    rc = cli.main(["encode", "--input", src, "--output",
+                   str(tmp_path / "o2"), "--zorder", "a,nope"])
+    assert rc == 2
+    # non-numeric column -> exit 2, not a mid-job traceback
+    rc = cli.main(["encode", "--input", src, "--output",
+                   str(tmp_path / "o3"), "--zorder", "a,s"])
+    assert rc == 2
+    assert "unsupported type" in capsys.readouterr().err
