@@ -475,9 +475,9 @@ def main(argv: list[str] | None = None) -> int:
     pe.add_argument(
         "--zorder",
         default=None,
-        help="comma-separated numeric/date/timestamp columns to Morton "
-        "z-order before encoding: range scans on ANY of them prune at "
-        "the chunk level (one extra shuffle at write time)",
+        help="comma-separated numeric/string/date/timestamp columns to "
+        "Morton z-order before encoding: range scans on ANY of them "
+        "prune at the chunk level (one extra shuffle at write time)",
     )
     pe.add_argument("--salt-buckets", type=int, default=16)
     pe.add_argument("--resume-from", default=None, help="prior output path (manifest)")

@@ -41,11 +41,19 @@ _DEFAULT_BITS = 16
 ZKEY = "__zkey"
 
 
+# string rank: the first 7 bytes as a big-endian non-negative BIGINT
+# (rpad truncates longer values, NUL-pads shorter ones, so the integer
+# order tracks byte-prefix order) — lossy past 7 bytes, which is
+# exactly what a 16-bit quantizer can resolve anyway.  Spark-side
+# expression; the cross-engine oracle claim stays integer-columns-only.
+_STR_RANK_SQL = "CAST(CONV(HEX(CAST(RPAD({c}, 7, chr(0)) AS BINARY)), 16, 10) AS BIGINT)"
+
+
 def _numeric_col(df: DataFrame, name: str) -> Column:
     """The column cast to a totally-ordered numeric Spark can quantize:
     ints stay ints, floats stay double, date/timestamp become their
-    epoch longs.  Raises on anything else (strings have no distance
-    metric worth interleaving — sort them outright instead)."""
+    epoch longs, strings their 7-byte big-endian prefix rank.  Raises
+    on anything else."""
     typ = df.schema[name].dataType
     if isinstance(typ, _INT_TYPES):
         return F.col(name).cast("long")
@@ -55,9 +63,11 @@ def _numeric_col(df: DataFrame, name: str) -> Column:
         return F.datediff(F.col(name), F.lit("1970-01-01")).cast("long")
     if isinstance(typ, T.TimestampType):
         return F.unix_micros(F.col(name))
+    if isinstance(typ, T.StringType):
+        return F.expr(_STR_RANK_SQL.format(c=f"`{name}`"))
     raise ValueError(
         f"zorder column {name!r}: unsupported type {typ.simpleString()} "
-        "(numeric / date / timestamp only)"
+        "(numeric / string / date / timestamp only)"
     )
 
 
@@ -179,6 +189,8 @@ def zorder_key(
             name_sql[c] = f"CAST(`{c}` AS DOUBLE)"
         elif isinstance(typ, _INT_TYPES):
             name_sql[c] = f"CAST(`{c}` AS BIGINT)"
+        elif isinstance(typ, T.StringType):
+            name_sql[c] = _STR_RANK_SQL.format(c=f"`{c}`")
         else:
             raise ValueError(
                 f"zorder column {c!r}: unsupported type {typ.simpleString()}"

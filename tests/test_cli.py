@@ -254,7 +254,9 @@ def test_encode_zorder_flag(tmp_path, spark, capsys):
 
 def test_encode_zorder_flag_validation(tmp_path, spark, capsys):
     src = str(tmp_path / "zv.parquet")
-    spark.createDataFrame([(1, "x")], "a long, s string").write.parquet(src)
+    spark.createDataFrame(
+        [(1, "x", [1.0, 2.0])], "a long, s string, v array<double>"
+    ).write.parquet(src)
     # one column -> exit 2 with the cluster-by hint
     rc = cli.main(["encode", "--input", src, "--output",
                    str(tmp_path / "o1"), "--zorder", "a"])
@@ -263,8 +265,8 @@ def test_encode_zorder_flag_validation(tmp_path, spark, capsys):
     rc = cli.main(["encode", "--input", src, "--output",
                    str(tmp_path / "o2"), "--zorder", "a,nope"])
     assert rc == 2
-    # non-numeric column -> exit 2, not a mid-job traceback
+    # unsupported (array) column -> exit 2, not a mid-job traceback
     rc = cli.main(["encode", "--input", src, "--output",
-                   str(tmp_path / "o3"), "--zorder", "a,s"])
+                   str(tmp_path / "o3"), "--zorder", "a,v"])
     assert rc == 2
     assert "unsupported type" in capsys.readouterr().err

@@ -120,10 +120,38 @@ class TestZorderKey:
         # constant column contributes 0 bits; key is just b's spread
         assert out.select(cluster.ZKEY).distinct().count() > 50
 
-    def test_rejects_strings_and_collisions(self, spark):
-        df = spark.createDataFrame([("x", 1)], "s string, a long")
+    def test_string_rank_matches_numpy_reference(self, spark):
+        """String columns quantize by their first-7-bytes big-endian
+        prefix rank — check the rank expression against numpy packing,
+        including truncation, NUL padding and empty strings."""
+        vals = ["", "a", "abc", "abcdefgh", "abcdefg", "zzz/path/x.py",
+                "zzz/path/y.py", "\x01", "~~~~~~~~~~"]
+        df = spark.createDataFrame([(v,) for v in vals], "s string")
+        got = {
+            r["s"]: r["rank"]
+            for r in df.select(
+                "s", cluster._numeric_col(df, "s").alias("rank")
+            ).collect()
+        }
+        for v in vals:
+            b = v.encode("utf-8")[:7].ljust(7, b"\0")
+            assert got[v] == int.from_bytes(b, "big"), v
+        # prefix order preserved
+        assert got["zzz/path/x.py"] == got["zzz/path/y.py"]  # same 7-prefix
+        assert got["a"] < got["abc"] < got["abcdefg"] <= got["abcdefgh"]
+
+    def test_string_column_zorder_end_to_end(self, spark):
+        df = spark.createDataFrame(
+            [(f"repo-{i % 37:03d}", i) for i in range(4000)],
+            "repo string, rid long",
+        )
+        out = cluster.zorder_sort(df, ["repo", "rid"], partitions=2)
+        assert sorted(r["rid"] for r in out.collect()) == list(range(4000))
+
+    def test_rejects_arrays_and_collisions(self, spark):
+        df = spark.createDataFrame([([1.0], 1)], "v array<double>, a long")
         with pytest.raises(ValueError, match="unsupported type"):
-            cluster.zorder_key(df, ["s", "a"])
+            cluster.zorder_key(df, ["v", "a"])
         with pytest.raises(ValueError, match="already exists"):
             cluster.zorder_key(
                 df.withColumn(cluster.ZKEY, F.lit(0)), ["a"]
