@@ -411,6 +411,25 @@ def cmd_meta(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    from parquetjs_spark import pipeline
+
+    spark = _spark(args)
+    if args.min_rows > args.target_rows:
+        print("error: --min-rows must be <= --target-rows", file=sys.stderr)
+        return 2
+    blobs = pipeline.read_encoded(spark, args.input)
+    before = blobs.count()
+    out = pipeline.compact_chunks(
+        blobs, min_rows=args.min_rows, target_rows=args.target_rows
+    )
+    meta = pipeline.read_metadata(spark, args.input)
+    pipeline.write_encoded(out, args.output, mode="overwrite", metadata=meta)
+    after = pipeline.read_manifest(spark, args.output).count()
+    print(json.dumps({"chunks_before": before, "chunks_after": after}))
+    return 0
+
+
 def cmd_verify(args) -> int:
     from pyspark.sql import functions as F
 
@@ -560,6 +579,15 @@ def main(argv: list[str] | None = None) -> int:
     pm = sub.add_parser("meta")
     pm.add_argument("--input", required=True)
     pm.set_defaults(fn=cmd_meta)
+
+    pc = sub.add_parser("compact")
+    pc.add_argument("--input", required=True, help="encoded table path")
+    pc.add_argument("--output", required=True)
+    pc.add_argument("--min-rows", type=int, default=1024,
+                    help="chunks under this row count are runts to merge")
+    pc.add_argument("--target-rows", type=int, default=4096,
+                    help="merged-chunk row target")
+    pc.set_defaults(fn=cmd_compact)
 
     pv = sub.add_parser("verify")
     pv.add_argument("--input", required=True)

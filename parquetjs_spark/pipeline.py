@@ -1362,6 +1362,104 @@ def scan_stats(
     )
 
 
+def compact_chunks(
+    blob_df: DataFrame,
+    min_rows: int = 1024,
+    target_rows: int = DEFAULT_CHUNK_ROWS,
+    codec: str = "auto",
+    compression: str = "auto",
+) -> DataFrame:
+    """Selective runt-chunk compaction — the encoded-table analogue of
+    a small-files OPTIMIZE pass.
+
+    Every encode task leaves a tail chunk of < chunk_rows rows; at
+    100 TB that is millions of runt chunks whose fixed per-chunk cost
+    (manifest row, header, selector sample, zone-map probe) is paid on
+    every scan.  This pass merges runts with their neighbors WITHIN a
+    storage partition and re-encodes only the merged groups:
+
+      * detection is pure manifest metadata (one distinct over
+        (part_id, chunk_seq, n)); partitions with no runt pass through
+        with their blob bytes untouched — zero decode cost;
+      * bucket boundaries are a pure function of the partition's chunk
+        geometry (greedy accumulate to target_rows, trailing runt
+        merges backwards), so every column of a partition computes the
+        SAME buckets and (part_id, chunk_seq) row alignment survives
+        for decode_table;
+      * merged chunks re-enter the normal encode path (auto selector,
+        fresh stats/sha/bloom), so verify_blobs and the scan pruning
+        surfaces see no difference from a first-pass chunk.
+
+    Whole-partition columns are the applyInPandas working set — the
+    same bound the original encode task held."""
+    geom = blob_df.select("part_id", "chunk_seq", "n").distinct()
+    counts = geom.groupBy("part_id").agg(
+        F.count("*").alias("n_chunks"), F.min("n").alias("min_n")
+    )
+    affected = counts.where(
+        (F.col("n_chunks") >= 2) & (F.col("min_n") < min_rows)
+    ).select("part_id")
+    # affected is manifest-sized; broadcast keeps both joins shuffle-free
+    passthrough = blob_df.join(F.broadcast(affected), "part_id", "left_anti")
+    todo = blob_df.join(F.broadcast(affected), "part_id", "left_semi")
+    out_schema = blob_df.schema
+
+    def merge_group(key, pdf):
+        pdf = pdf.sort_values("chunk_seq").reset_index(drop=True)
+        ns = [int(v) for v in pdf["n"]]
+        buckets: list[list[int]] = []
+        cur: list[int] = []
+        acc = 0
+        for i, nv in enumerate(ns):
+            cur.append(i)
+            acc += nv
+            if acc >= target_rows:
+                buckets.append(cur)
+                cur, acc = [], 0
+        if cur:
+            if acc < min_rows and buckets:
+                buckets[-1].extend(cur)
+            else:
+                buckets.append(cur)
+        rows = []
+        for b in buckets:
+            first = pdf.iloc[b[0]]
+            if len(b) == 1:
+                rows.append(first)
+                continue
+            t0 = time.perf_counter()
+            arrs = []
+            dtype = str(first["dtype"])
+            for i in b:
+                arr_i, dtype = arrow_chunk.decode_arrow_column(pdf["data"].iloc[i])
+                arrs.append(arr_i)
+            merged = pa.concat_arrays(arrs)
+            blob, stats = arrow_chunk.encode_arrow_column(
+                merged, dtype, codec=codec, compression=compression,
+                fsst_state={},
+            )
+            smin, smax = arrow_chunk._column_stats(merged, dtype)
+            row = first.copy()
+            row["codec"] = stats["codec"]
+            row["compression"] = stats["compression"]
+            row["n"] = stats["n"]
+            row["n_nulls"] = stats["n_nulls"]
+            row["content_bytes"] = stats["content_bytes"]
+            row["encoded_bytes"] = stats["encoded_bytes"]
+            row["sha256"] = stats["sha256"]
+            row["stat_min"], row["stat_max"] = smin, smax
+            row["bloom"] = stats.get("bloom")
+            row["wall_ms"] = (time.perf_counter() - t0) * 1000.0
+            row["data"] = blob
+            rows.append(row)
+        return pd.DataFrame(rows)
+
+    compacted = todo.groupBy("part_id", "column").applyInPandas(
+        merge_group, schema=out_schema
+    )
+    return passthrough.unionByName(compacted)
+
+
 VERIFY_SCHEMA = T.StructType(
     [
         T.StructField("part_id", T.IntegerType()),

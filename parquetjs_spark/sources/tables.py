@@ -46,6 +46,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # a crashed Python worker otherwise reports only "exited
+        # unexpectedly" with no traceback — keep the faulthandler on so
+        # a segfault/OOM in a vectorized stage is diagnosable post-hoc
+        .config("spark.python.worker.faulthandler.enabled", "true")
     )
     if shuffle_partitions:
         builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
