@@ -189,10 +189,11 @@ def _decode_matrix(
     # flat (row * max_len + col) scatter positions of the explicit
     # suffix bytes: 1-D indexing throughout (2-D advanced indexing costs
     # ~2x in numpy) and the M/writer scatters share one index array
+    # all flat positions fit int32: n * max_len <= _MATRIX_CELLS << 2^31
     w_flat = (
-        np.arange(total_s, dtype=np.int64)
-        - np.repeat(soffs, slens)
-        + np.repeat(plens + np.arange(n, dtype=np.int64) * max_len, slens)
+        np.arange(total_s, dtype=np.int32)
+        - np.repeat(soffs.astype(np.int32), slens)
+        + np.repeat((plens + np.arange(n, dtype=np.int64) * max_len).astype(np.int32), slens)
     )
     M = np.zeros(n * max_len, dtype=np.uint8)
     writer = np.zeros((n, max_len), dtype=np.int32)
@@ -202,10 +203,16 @@ def _decode_matrix(
     # compose the two gathers per output byte: writer row of (i, j),
     # then M at (writer_row * max_len + j) — no filled matrix
     total = int(offsets[-1])
-    cols = np.arange(total, dtype=np.int64) - np.repeat(offsets[:-1], lens)
-    out_flat = cols + np.repeat(np.arange(n, dtype=np.int64) * max_len, lens)
-    w = writer.reshape(-1)[out_flat].astype(np.int64)
-    return M[w * max_len + cols].tobytes()
+    cols = np.arange(total, dtype=np.int32) - np.repeat(
+        offsets[:-1].astype(np.int32), lens
+    )
+    out_flat = cols + np.repeat(
+        (np.arange(n, dtype=np.int64) * max_len).astype(np.int32), lens
+    )
+    w = writer.reshape(-1)[out_flat]
+    w *= np.int32(max_len)
+    w += cols
+    return M[w].tobytes()
 
 
 def decode_offsets(buf: memoryview | bytes, n: int) -> tuple[np.ndarray, bytes]:
