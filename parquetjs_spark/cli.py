@@ -82,6 +82,10 @@ def cmd_encode(args) -> int:
         print("error: --zorder takes 2+ comma-separated columns "
               "(one column: use --cluster-by)", file=sys.stderr)
         return 2
+    if args.zorder and (args.cluster_by or args.salt_key):
+        print("error: --zorder conflicts with --cluster-by/--salt-key "
+              "(pick one layout strategy)", file=sys.stderr)
+        return 2
     missing = [c for c in (cols or [])] + ([args.salt_key] if args.salt_key else [])
     missing += zorder_cols
     missing = [c for c in missing if c not in df.columns]
@@ -114,12 +118,19 @@ def cmd_encode(args) -> int:
             )
             return 2
     if zorder_cols:
+        from pyspark.errors.exceptions.base import PySparkException
+
         from parquetjs_spark.functions import cluster as _cluster
 
         try:
+            # the stats pass inside runs a real Spark job: surface its
+            # failures as the CLI's exit-2 contract, not a raw traceback
             df = _cluster.zorder_sort(df, zorder_cols, partitions=args.partitions)
-        except ValueError as e:  # non-numeric column etc.
+        except ValueError as e:  # unsupported column type etc.
             print(f"error: {e}", file=sys.stderr)
+            return 2
+        except PySparkException as e:
+            print(f"error: --zorder stats pass failed: {e}", file=sys.stderr)
             return 2
     elif args.cluster_by:
         df = pipeline.clustered_repartition(df, args.cluster_by, args.partitions)

@@ -41,34 +41,39 @@ _DEFAULT_BITS = 16
 ZKEY = "__zkey"
 
 
-# string rank: the first 7 bytes as a big-endian non-negative BIGINT
-# (rpad truncates longer values, NUL-pads shorter ones, so the integer
-# order tracks byte-prefix order) — lossy past 7 bytes, which is
-# exactly what a 16-bit quantizer can resolve anyway.  Spark-side
-# expression; the cross-engine oracle claim stays integer-columns-only.
-_STR_RANK_SQL = "CAST(CONV(HEX(CAST(RPAD({c}, 7, chr(0)) AS BINARY)), 16, 10) AS BIGINT)"
-
-
-def _numeric_col(df: DataFrame, name: str) -> Column:
-    """The column cast to a totally-ordered numeric Spark can quantize:
-    ints stay ints, floats stay double, date/timestamp become their
-    epoch longs, strings their 7-byte big-endian prefix rank.  Raises
-    on anything else."""
+def _rank_sql(df: DataFrame, name: str) -> str:
+    """THE single type ladder: the column's totally-ordered rank as a
+    Spark-SQL fragment — ints stay BIGINT, floats DOUBLE, date/
+    timestamp their epoch longs, strings the big-endian integer of
+    their first 7 BYTES (HEX over the raw binary, truncated to 14
+    nibbles and right-padded with '0' nibbles so shorter values stay
+    left-aligned — byte-true for multi-byte UTF-8, and 2^56-1 max so
+    CONV can never overflow under ANSI mode).  Both column_stats and
+    the key expression build from this one function, so the rank the
+    stats measured is exactly the rank the key quantizes."""
     typ = df.schema[name].dataType
+    qn = f"`{name}`"
     if isinstance(typ, _INT_TYPES):
-        return F.col(name).cast("long")
+        return f"CAST({qn} AS BIGINT)"
     if isinstance(typ, _FLOAT_TYPES):
-        return F.col(name).cast("double")
+        return f"CAST({qn} AS DOUBLE)"
     if isinstance(typ, T.DateType):
-        return F.datediff(F.col(name), F.lit("1970-01-01")).cast("long")
+        return f"CAST(datediff({qn}, DATE'1970-01-01') AS BIGINT)"
     if isinstance(typ, T.TimestampType):
-        return F.unix_micros(F.col(name))
+        return f"unix_micros({qn})"
     if isinstance(typ, T.StringType):
-        return F.expr(_STR_RANK_SQL.format(c=f"`{name}`"))
+        return (
+            f"CAST(CONV(RPAD(SUBSTR(HEX(CAST({qn} AS BINARY)), 1, 14), "
+            "14, '0'), 16, 10) AS BIGINT)"
+        )
     raise ValueError(
         f"zorder column {name!r}: unsupported type {typ.simpleString()} "
         "(numeric / string / date / timestamp only)"
     )
+
+
+def _numeric_col(df: DataFrame, name: str) -> Column:
+    return F.expr(_rank_sql(df, name))
 
 
 def _is_float(df: DataFrame, name: str) -> bool:
@@ -77,10 +82,19 @@ def _is_float(df: DataFrame, name: str) -> bool:
 
 def column_stats(df: DataFrame, cols: list[str]) -> dict[str, tuple]:
     """(min, max) per column in one aggregate — 2k scalars to the
-    driver regardless of table size."""
+    driver regardless of table size.  Float columns aggregate over
+    finite values only: a NaN/inf min or max would otherwise leak into
+    the generated key SQL as the bare identifier `nan`/`inf`."""
     aggs = []
     for c in cols:
         nc = _numeric_col(df, c)
+        if _is_float(df, c):
+            nc = F.when(
+                ~F.isnan(nc)
+                & (nc > F.lit(float("-inf")))
+                & (nc < F.lit(float("inf"))),
+                nc,
+            )
         aggs.append(F.min(nc).alias(f"__mn_{c}"))
         aggs.append(F.max(nc).alias(f"__mx_{c}"))
     row = df.agg(*aggs).collect()[0]
@@ -141,10 +155,15 @@ def zorder_key_sql(
             if mx is None or mn is None or mx <= mn:
                 qs.append("0")
             else:
+                # GREATEST/LEAST clamp BEFORE the BIGINT cast so data
+                # NaN/±inf rows (excluded from the stats) rank at the
+                # top/bottom instead of throwing under ANSI: Spark's
+                # LEAST treats NaN as largest, so NaN -> top; FLOOR(-inf)
+                # -> GREATEST picks 0.0
                 span = float(mx) - float(mn)
                 qs.append(
-                    f"LEAST(CAST(FLOOR((({c}) - {float(mn)!r}) / {span!r} "
-                    f"* {float(top)!r}) AS BIGINT), {top})"
+                    f"CAST(GREATEST(0.0D, LEAST(FLOOR((({c}) - {float(mn)!r}D) "
+                    f"/ {span!r}D * {float(top)!r}D), {float(top)!r}D)) AS BIGINT)"
                 )
         else:
             qs.append(_quantize_sql(c, mn, mx, bits).format(DIV=div))
@@ -176,25 +195,8 @@ def zorder_key(
     if stats is None:
         stats = column_stats(df, cols)
     float_cols = {c for c in cols if _is_float(df, c)}
-    # date/timestamp columns quantize over their epoch numbers: express
-    # them as SQL the same way _numeric_col casts them
-    name_sql = {}
-    for c in cols:
-        typ = df.schema[c].dataType
-        if isinstance(typ, T.DateType):
-            name_sql[c] = f"CAST(datediff(`{c}`, DATE'1970-01-01') AS BIGINT)"
-        elif isinstance(typ, T.TimestampType):
-            name_sql[c] = f"unix_micros(`{c}`)"
-        elif isinstance(typ, _FLOAT_TYPES):
-            name_sql[c] = f"CAST(`{c}` AS DOUBLE)"
-        elif isinstance(typ, _INT_TYPES):
-            name_sql[c] = f"CAST(`{c}` AS BIGINT)"
-        elif isinstance(typ, T.StringType):
-            name_sql[c] = _STR_RANK_SQL.format(c=f"`{c}`")
-        else:
-            raise ValueError(
-                f"zorder column {c!r}: unsupported type {typ.simpleString()}"
-            )
+    # one ladder: the same _rank_sql fragment column_stats aggregated
+    name_sql = {c: _rank_sql(df, c) for c in cols}
     expr = zorder_key_sql(
         [name_sql[c] for c in cols],
         {name_sql[c]: stats[c] for c in cols},

@@ -270,3 +270,9 @@ def test_encode_zorder_flag_validation(tmp_path, spark, capsys):
                    str(tmp_path / "o3"), "--zorder", "a,v"])
     assert rc == 2
     assert "unsupported type" in capsys.readouterr().err
+    # conflicting layout strategies -> exit 2
+    rc = cli.main(["encode", "--input", src, "--output",
+                   str(tmp_path / "o4"), "--zorder", "a,s",
+                   "--cluster-by", "a"])
+    assert rc == 2
+    assert "conflicts" in capsys.readouterr().err

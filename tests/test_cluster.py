@@ -114,6 +114,29 @@ class TestZorderKey:
         assert len(set(keys)) > 100  # real spread, no degenerate constant
         assert min(keys) >= 0
 
+    def test_float_nan_inf_rows_survive(self, spark):
+        """NaN/inf rows must not poison the stats (bare `nan`/`inf`
+        identifiers in generated SQL) nor throw under ANSI mode: stats
+        aggregate finite values only, the quantizer clamps NaN/+inf to
+        the top rank and -inf to 0."""
+        rows = [(float(i), i) for i in range(100)] + [
+            (float("nan"), 200), (float("inf"), 201), (float("-inf"), 202)
+        ]
+        df = spark.createDataFrame(rows, "x double, i long")
+        st = cluster.column_stats(df, ["x", "i"])
+        assert st["x"] == (0.0, 99.0)  # finite-only
+        got = {
+            r["i"]: r[cluster.ZKEY]
+            for r in cluster.zorder_key(df, ["x", "i"], stats=st).collect()
+        }
+        assert len(got) == 103  # no row lost, nothing threw
+        assert min(got.values()) >= 0
+        # all-NaN column degrades to a constant-0 quantizer, still runs
+        df2 = spark.createDataFrame(
+            [(float("nan"), i) for i in range(10)], "x double, i long"
+        )
+        assert cluster.zorder_key(df2, ["x", "i"]).count() == 10
+
     def test_degenerate_constant_column(self, spark):
         df = spark.createDataFrame([(5, i) for i in range(100)], "a long, b long")
         out = cluster.zorder_key(df, ["a", "b"], bits=8)
@@ -125,7 +148,11 @@ class TestZorderKey:
         prefix rank — check the rank expression against numpy packing,
         including truncation, NUL padding and empty strings."""
         vals = ["", "a", "abc", "abcdefgh", "abcdefg", "zzz/path/x.py",
-                "zzz/path/y.py", "\x01", "~~~~~~~~~~"]
+                "zzz/path/y.py", "\x01", "~~~~~~~~~~",
+                # multi-byte UTF-8: ranks must be computed over BYTES
+                # (truncation may split a codepoint; only ordering and
+                # overflow-freedom matter)
+                "café", "日本語テスト", "naïve/path.py", "é"]
         df = spark.createDataFrame([(v,) for v in vals], "s string")
         got = {
             r["s"]: r["rank"]
