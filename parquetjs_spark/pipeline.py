@@ -1650,6 +1650,58 @@ def read_encoded(spark: SparkSession, path: str) -> DataFrame:
     return df
 
 
+def union_encoded(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Concatenate two encoded tables (incremental-ingest composition):
+    b's part_ids shift past a's maximum so (part_id, chunk_seq) row
+    groups stay disjoint and decode_table sees one consistent table.
+    Column sets and dtypes must match exactly — a blob table with
+    half-present columns would decode ragged rows.  Metadata-only:
+    no blob bytes move or re-encode."""
+    meta_a = {
+        (r["column"], r["dtype"])
+        for r in a.select("column", "dtype").distinct().collect()
+    }
+    meta_b = {
+        (r["column"], r["dtype"])
+        for r in b.select("column", "dtype").distinct().collect()
+    }
+    if meta_a != meta_b:
+        raise ValueError(
+            f"union_encoded: column/dtype sets differ: "
+            f"{sorted(meta_a ^ meta_b)}"
+        )
+    off = (a.agg(F.max("part_id")).collect()[0][0] or 0) + 1
+    shifted = b.withColumn("part_id", (F.col("part_id") + off).cast("int"))
+    return a.unionByName(shifted)
+
+
+def drop_columns(blob_df: DataFrame, columns: list[str]) -> DataFrame:
+    """Schema evolution without rewrite: dropping a column of an
+    encoded table is a manifest filter — the remaining columns' blob
+    bytes are untouched."""
+    have = {r["column"] for r in blob_df.select("column").distinct().collect()}
+    missing = [c for c in columns if c not in have]
+    if missing:
+        raise ValueError(f"drop_columns: not in table: {missing}")
+    if not have - set(columns):
+        raise ValueError("drop_columns: cannot drop every column")
+    return blob_df.where(~F.col("column").isin(list(columns)))
+
+
+def rename_column(blob_df: DataFrame, old: str, new: str) -> DataFrame:
+    """Schema evolution without rewrite: renames are a metadata update
+    on the manifest rows; blob bytes (and their shas) are untouched."""
+    have = {r["column"] for r in blob_df.select("column").distinct().collect()}
+    if old not in have:
+        raise ValueError(f"rename_column: {old!r} not in table")
+    if new in have:
+        raise ValueError(f"rename_column: {new!r} already exists")
+    return blob_df.withColumn(
+        "column",
+        F.when(F.col("column") == old, F.lit(new)).otherwise(F.col("column")),
+    )
+
+
 def read_manifest(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(f"{path}/manifest")
 

@@ -1,0 +1,99 @@
+"""Encoded-table management: union (incremental ingest), drop/rename
+(schema evolution without rewrite).  All three are manifest-level ops —
+blob bytes never move or re-encode."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from parquetjs_spark import pipeline
+
+
+@pytest.fixture(scope="module")
+def two_batches(spark):
+    mk = lambda lo, n: (
+        spark.range(lo, lo + n)
+        .select(
+            F.col("id").alias("rid"),
+            (F.col("id") % 13).alias("k"),
+            F.concat(F.lit("s"), F.col("id")).alias("s"),
+        )
+        .repartition(3)
+    )
+    a = pipeline.encode_columns(mk(0, 2000), chunk_rows=256).cache()
+    b = pipeline.encode_columns(mk(2000, 1500), chunk_rows=256).cache()
+    a.count(), b.count()
+    return a, b
+
+
+class TestUnionEncoded:
+    def test_union_decodes_all_rows(self, spark, two_batches):
+        a, b = two_batches
+        u = pipeline.union_encoded(a, b)
+        back = pipeline.decode_table(u, ["rid", "k", "s"])
+        got = sorted(r["rid"] for r in back.collect())
+        assert got == list(range(3500))
+        assert pipeline.verify_blobs(u).where(~F.col("ok")).count() == 0
+
+    def test_part_ids_disjoint_and_bytes_untouched(self, spark, two_batches):
+        a, b = two_batches
+        u = pipeline.union_encoded(a, b)
+        pa_max = a.agg(F.max("part_id")).collect()[0][0]
+        b_shifted = u.join(a.select("part_id").distinct(), "part_id", "left_anti")
+        assert b_shifted.agg(F.min("part_id")).collect()[0][0] > pa_max
+        # b's blob bytes pass through identically (only part_id changed)
+        assert sorted(bytes(r["data"]) for r in b.collect()) == sorted(
+            bytes(r["data"]) for r in b_shifted.collect()
+        )
+
+    def test_union_rejects_schema_mismatch(self, spark, two_batches):
+        a, _ = two_batches
+        other = pipeline.encode_columns(
+            spark.range(10).select(F.col("id").alias("rid")), chunk_rows=256
+        )
+        with pytest.raises(ValueError, match="column/dtype sets differ"):
+            pipeline.union_encoded(a, other)
+
+
+class TestSchemaEvolution:
+    def test_drop_column(self, spark, two_batches):
+        a, _ = two_batches
+        out = pipeline.drop_columns(a, ["s"])
+        assert out.select("column").distinct().count() == 2
+        back = pipeline.decode_table(out, ["rid", "k"])
+        assert back.count() == 2000
+        with pytest.raises(ValueError, match="not in table"):
+            pipeline.drop_columns(a, ["nope"])
+        with pytest.raises(ValueError, match="every column"):
+            pipeline.drop_columns(a, ["rid", "k", "s"])
+
+    def test_rename_column(self, spark, two_batches):
+        a, _ = two_batches
+        out = pipeline.rename_column(a, "s", "text")
+        cols = {r["column"] for r in out.select("column").distinct().collect()}
+        assert cols == {"rid", "k", "text"}
+        back = pipeline.decode_table(out, ["rid", "text"])
+        row = back.where(F.col("rid") == 7).collect()[0]
+        assert row["text"] == "s7"
+        # shas survive the rename untouched: full verify stays green
+        assert pipeline.verify_blobs(out).where(~F.col("ok")).count() == 0
+        with pytest.raises(ValueError, match="not in table"):
+            pipeline.rename_column(a, "zzz", "w")
+        with pytest.raises(ValueError, match="already exists"):
+            pipeline.rename_column(a, "s", "k")
+
+    def test_evolved_table_roundtrips_through_storage(
+        self, spark, two_batches, tmp_path
+    ):
+        """rename + drop + union, written and re-read: the manifest
+        (not the original encode) is the source of truth for decode."""
+        a, b = two_batches
+        u = pipeline.union_encoded(
+            pipeline.rename_column(pipeline.drop_columns(a, ["k"]), "s", "text"),
+            pipeline.rename_column(pipeline.drop_columns(b, ["k"]), "s", "text"),
+        )
+        path = str(tmp_path / "evolved")
+        pipeline.write_encoded(u, path)
+        rt = pipeline.read_encoded(spark, path)
+        back = pipeline.decode_table(rt, ["rid", "text"])
+        assert back.count() == 3500
+        assert back.where(F.col("text") == "s3210").count() == 1
