@@ -423,20 +423,37 @@ def cmd_meta(args) -> int:
 
 
 def cmd_compact(args) -> int:
+    import os as _os
+
     from parquetjs_spark import pipeline
 
-    spark = _spark(args)
     if args.min_rows > args.target_rows:
         print("error: --min-rows must be <= --target-rows", file=sys.stderr)
         return 2
+    # in-place compaction would overwrite the table mid-read (and a
+    # path-normalization near-miss could destroy the input outright)
+    if _os.path.realpath(args.input) == _os.path.realpath(args.output):
+        print("error: compact --output must differ from --input "
+              "(in-place compaction is not supported)", file=sys.stderr)
+        return 2
+    spark = _spark(args)
     blobs = pipeline.read_encoded(spark, args.input)
     before = blobs.count()
+    # preserve a --partition-by-column input layout unless overridden
+    first_file = (blobs.inputFiles() or [""])[0]
+    part_by_col = args.partition_by_column or "/column=" in first_file
     out = pipeline.compact_chunks(
         blobs, min_rows=args.min_rows, target_rows=args.target_rows
-    )
-    meta = pipeline.read_metadata(spark, args.input)
-    pipeline.write_encoded(out, args.output, mode="overwrite", metadata=meta)
-    after = pipeline.read_manifest(spark, args.output).count()
+    ).cache()  # write_encoded writes blobs then manifest: one execution
+    try:
+        meta = pipeline.read_metadata(spark, args.input)
+        pipeline.write_encoded(
+            out, args.output, mode="overwrite", metadata=meta,
+            partition_by_column=part_by_col,
+        )
+        after = pipeline.read_manifest(spark, args.output).count()
+    finally:
+        out.unpersist()
     print(json.dumps({"chunks_before": before, "chunks_after": after}))
     return 0
 
@@ -598,6 +615,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="chunks under this row count are runts to merge")
     pc.add_argument("--target-rows", type=int, default=4096,
                     help="merged-chunk row target")
+    pc.add_argument("--partition-by-column", action="store_true",
+                    help="write one storage partition per column "
+                    "(auto-detected from the input layout by default)")
     pc.set_defaults(fn=cmd_compact)
 
     pv = sub.add_parser("verify")

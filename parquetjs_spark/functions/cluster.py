@@ -155,11 +155,11 @@ def zorder_key_sql(
             if mx is None or mn is None or mx <= mn:
                 qs.append("0")
             else:
-                # GREATEST/LEAST clamp BEFORE the BIGINT cast so data
-                # NaN/±inf rows (excluded from the stats) rank at the
-                # top/bottom instead of throwing under ANSI: Spark's
-                # LEAST treats NaN as largest, so NaN -> top; FLOOR(-inf)
-                # -> GREATEST picks 0.0
+                # GREATEST/LEAST clamp so data NaN/±inf rows (excluded
+                # from the stats) can never throw under ANSI: Spark's
+                # FLOOR(double) returns BIGINT and maps NaN to 0, so
+                # NaN rows rank 0 — clustered at the bottom with
+                # NULL/-inf rows; +inf clamps to the top rank
                 span = float(mx) - float(mn)
                 qs.append(
                     f"CAST(GREATEST(0.0D, LEAST(FLOOR((({c}) - {float(mn)!r}D) "

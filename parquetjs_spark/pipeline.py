@@ -603,6 +603,15 @@ def pretrain_fsst_tables(
     return tables
 
 
+# manifest fields copied verbatim from an encode's stats dict — shared
+# by the first-pass encode and compact's re-encode so the two row
+# builders cannot drift when a field is added
+_STATS_ROW_FIELDS = (
+    "codec", "compression", "n", "n_nulls", "content_bytes",
+    "encoded_bytes", "sha256", "bloom",
+)
+
+
 def encode_columns(
     df: DataFrame,
     columns: list[str] | None = None,
@@ -651,16 +660,10 @@ def encode_columns(
                 rows["column"].append(pretty[c])
                 rows["col_idx"].append(ci)
                 rows["dtype"].append(dtypes[c])
-                rows["codec"].append(stats["codec"])
-                rows["compression"].append(stats["compression"])
-                rows["n"].append(stats["n"])
-                rows["n_nulls"].append(stats["n_nulls"])
-                rows["content_bytes"].append(stats["content_bytes"])
-                rows["encoded_bytes"].append(stats["encoded_bytes"])
-                rows["sha256"].append(stats["sha256"])
+                for f_ in _STATS_ROW_FIELDS:
+                    rows[f_].append(stats.get(f_))
                 rows["stat_min"].append(stats.get("stat_min"))
                 rows["stat_max"].append(stats.get("stat_max"))
-                rows["bloom"].append(stats.get("bloom"))
                 rows["wall_ms"].append(wall_ms)
                 rows["data"].append(blob)
             seq += 1
@@ -1440,15 +1443,9 @@ def compact_chunks(
             )
             smin, smax = arrow_chunk._column_stats(merged, dtype)
             row = first.copy()
-            row["codec"] = stats["codec"]
-            row["compression"] = stats["compression"]
-            row["n"] = stats["n"]
-            row["n_nulls"] = stats["n_nulls"]
-            row["content_bytes"] = stats["content_bytes"]
-            row["encoded_bytes"] = stats["encoded_bytes"]
-            row["sha256"] = stats["sha256"]
+            for f_ in _STATS_ROW_FIELDS:
+                row[f_] = stats.get(f_)
             row["stat_min"], row["stat_max"] = smin, smax
-            row["bloom"] = stats.get("bloom")
             row["wall_ms"] = (time.perf_counter() - t0) * 1000.0
             row["data"] = blob
             rows.append(row)
@@ -1675,30 +1672,66 @@ def union_encoded(a: DataFrame, b: DataFrame) -> DataFrame:
     return a.unionByName(shifted)
 
 
+def _top_name(chunk_name: str) -> str:
+    """User-facing column behind a manifest chunk name: nested leaves
+    are dotted ('meta.origin'), validity chunks suffixed ('s@def')."""
+    return chunk_name.split(".", 1)[0].split("@", 1)[0]
+
+
+def _check_plain_name(op: str, name: str) -> None:
+    # '.' and '@' are decode_table's tree grammar (_unflatten_tree /
+    # @def validity chunks): letting them through would silently
+    # restructure or half-dismember a struct subtree
+    if "." in name or "@" in name:
+        raise ValueError(
+            f"{op}: {name!r} addresses a nested/structural chunk; "
+            "operate on the top-level column instead"
+        )
+
+
 def drop_columns(blob_df: DataFrame, columns: list[str]) -> DataFrame:
     """Schema evolution without rewrite: dropping a column of an
     encoded table is a manifest filter — the remaining columns' blob
-    bytes are untouched."""
+    bytes are untouched.  Names address TOP-LEVEL columns; a struct
+    column drops with its whole subtree (leaves + validity chunks)."""
+    for c in columns:
+        _check_plain_name("drop_columns", c)
     have = {r["column"] for r in blob_df.select("column").distinct().collect()}
-    missing = [c for c in columns if c not in have]
+    tops = {_top_name(c) for c in have}
+    missing = [c for c in columns if c not in tops]
     if missing:
         raise ValueError(f"drop_columns: not in table: {missing}")
-    if not have - set(columns):
+    if not tops - set(columns):
         raise ValueError("drop_columns: cannot drop every column")
-    return blob_df.where(~F.col("column").isin(list(columns)))
+    dropped = set(columns)
+    keep = [c for c in have if _top_name(c) not in dropped]
+    return blob_df.where(F.col("column").isin(keep))
 
 
 def rename_column(blob_df: DataFrame, old: str, new: str) -> DataFrame:
     """Schema evolution without rewrite: renames are a metadata update
-    on the manifest rows; blob bytes (and their shas) are untouched."""
+    on the manifest rows; blob bytes (and their shas) are untouched.
+    Renames TOP-LEVEL columns; a struct column renames with its whole
+    subtree ('meta' -> 'info' carries 'meta.origin' -> 'info.origin'
+    and 'meta@def' -> 'info@def')."""
+    _check_plain_name("rename_column", old)
+    _check_plain_name("rename_column", new)
     have = {r["column"] for r in blob_df.select("column").distinct().collect()}
-    if old not in have:
+    tops = {_top_name(c) for c in have}
+    if old not in tops:
         raise ValueError(f"rename_column: {old!r} not in table")
-    if new in have:
+    if new in tops:
         raise ValueError(f"rename_column: {new!r} already exists")
+    suffix = F.expr(f"substring(column, {len(old) + 1})")
     return blob_df.withColumn(
         "column",
-        F.when(F.col("column") == old, F.lit(new)).otherwise(F.col("column")),
+        F.when(F.col("column") == old, F.lit(new))
+        .when(
+            F.col("column").startswith(old + ".")
+            | F.col("column").startswith(old + "@"),
+            F.concat(F.lit(new), suffix),
+        )
+        .otherwise(F.col("column")),
     )
 
 

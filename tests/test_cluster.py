@@ -117,8 +117,9 @@ class TestZorderKey:
     def test_float_nan_inf_rows_survive(self, spark):
         """NaN/inf rows must not poison the stats (bare `nan`/`inf`
         identifiers in generated SQL) nor throw under ANSI mode: stats
-        aggregate finite values only, the quantizer clamps NaN/+inf to
-        the top rank and -inf to 0."""
+        aggregate finite values only; the quantizer clamps +inf to the
+        top rank and NaN/-inf to 0 (FLOOR(double) maps NaN to 0 before
+        the clamp, so NaN clusters at the bottom with NULL rows)."""
         rows = [(float(i), i) for i in range(100)] + [
             (float("nan"), 200), (float("inf"), 201), (float("-inf"), 202)
         ]

@@ -111,3 +111,25 @@ def test_cli_compact_roundtrip(tmp_path, spark, capsys):
     # bad flags exit 2
     assert cli.main(["compact", "--input", enc, "--output", cmp_,
                      "--min-rows", "600", "--target-rows", "512"]) == 2
+    # in-place compaction refused before any job starts (including
+    # path-normalization near-misses)
+    assert cli.main(["compact", "--input", enc, "--output", enc]) == 2
+    assert cli.main(["compact", "--input", enc, "--output", enc + "/"]) == 2
+
+
+def test_cli_compact_preserves_column_partitioning(tmp_path, spark, capsys):
+    """A --partition-by-column input keeps its layout through compact."""
+    import os
+
+    src = str(tmp_path / "s.parquet")
+    enc = str(tmp_path / "enc_pbc")
+    cmp_ = str(tmp_path / "cmp_pbc")
+    spark.range(1300).select(
+        F.col("id").alias("rid"), (F.col("id") % 5).alias("k")
+    ).coalesce(1).write.parquet(src)
+    assert cli.main(["encode", "--input", src, "--output", enc,
+                     "--chunk-rows", "512", "--partition-by-column"]) == 0
+    assert cli.main(["compact", "--input", enc, "--output", cmp_,
+                     "--min-rows", "300", "--target-rows", "512"]) == 0
+    assert any(d.startswith("column=") for d in os.listdir(f"{cmp_}/blobs"))
+    assert cli.main(["verify", "--input", cmp_]) == 0

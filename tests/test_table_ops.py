@@ -81,6 +81,41 @@ class TestSchemaEvolution:
         with pytest.raises(ValueError, match="already exists"):
             pipeline.rename_column(a, "s", "k")
 
+    def test_struct_columns_move_as_subtrees(self, spark):
+        """Nested columns shred to dotted leaves + @def validity
+        chunks: drop/rename must move the WHOLE subtree, and
+        addressing an interior chunk directly is rejected."""
+        df = spark.range(50).select(
+            F.col("id").alias("rid"),
+            F.struct(
+                (F.col("id") % 3).alias("a"), F.concat(F.lit("x"), "id").alias("b")
+            ).alias("meta"),
+        )
+        blobs = pipeline.encode_columns(df, chunk_rows=32).cache()
+        try:
+            names = {r["column"] for r in blobs.select("column").distinct().collect()}
+            assert any("." in c for c in names), names  # shredded leaves
+            # rename carries every subtree chunk
+            ren = pipeline.rename_column(blobs, "meta", "info")
+            rnames = {r["column"] for r in ren.select("column").distinct().collect()}
+            assert {c.split(".")[0].split("@")[0] for c in rnames} == {"rid", "info"}
+            back = pipeline.decode_table(ren, ["rid", "info"])
+            assert back.where(F.col("info.a") == 1).count() > 0
+            # drop removes the whole subtree
+            dropped = pipeline.drop_columns(blobs, ["meta"])
+            dnames = {r["column"] for r in dropped.select("column").distinct().collect()}
+            assert all(not c.startswith("meta") for c in dnames)
+            # structural names rejected outright
+            leaf = next(c for c in names if "." in c)
+            with pytest.raises(ValueError, match="nested/structural"):
+                pipeline.drop_columns(blobs, [leaf])
+            with pytest.raises(ValueError, match="nested/structural"):
+                pipeline.rename_column(blobs, leaf, "w")
+            with pytest.raises(ValueError, match="nested/structural"):
+                pipeline.rename_column(blobs, "rid", "meta.origin")
+        finally:
+            blobs.unpersist()
+
     def test_evolved_table_roundtrips_through_storage(
         self, spark, two_batches, tmp_path
     ):
