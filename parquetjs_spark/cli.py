@@ -374,6 +374,56 @@ def cmd_where(args) -> int:
     return 0
 
 
+def cmd_delete(args) -> int:
+    """Merge-on-write DELETE: rows matching the predicate conjunction
+    are removed; only possibly-affected row groups re-encode, the rest
+    pass through bit-identical (pipeline.delete_where)."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from parquetjs_spark import pipeline
+
+    if _os.path.realpath(args.input) == _os.path.realpath(args.output):
+        print("error: delete --output must differ from --input "
+              "(in-place rewrite is not supported)", file=sys.stderr)
+        return 2
+    spark = _spark(args)
+    blobs = pipeline.read_encoded(spark, args.input)
+    dtype_of = _manifest_dtypes(spark, pipeline, args.input)
+    ranges, eqs = _parse_predicates(args, dtype_of)
+    if not ranges and not eqs:
+        print("error: delete needs at least one --range/--eq/--is-null",
+              file=sys.stderr)
+        return 2
+    per_col = blobs.groupBy("column").agg(F.sum("n").alias("rows")).collect()
+    rows_before = per_col[0]["rows"] if per_col else 0
+    first_file = (blobs.inputFiles() or [""])[0]
+    try:
+        out = pipeline.delete_where(blobs, ranges=ranges, eqs=eqs).cache()
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    try:
+        meta = pipeline.read_metadata(spark, args.input)
+        pipeline.write_encoded(
+            out, args.output, mode="overwrite", metadata=meta,
+            partition_by_column="/column=" in first_file,
+        )
+        after = (
+            pipeline.read_manifest(spark, args.output)
+            .groupBy("column").agg(F.sum("n").alias("rows")).collect()
+        )
+        rows_after = after[0]["rows"] if after else 0
+    finally:
+        out.unpersist()
+    print(json.dumps({
+        "rows_before": rows_before, "rows_after": rows_after,
+        "rows_deleted": rows_before - rows_after,
+    }))
+    return 0
+
+
 def cmd_stats(args) -> int:
     """Pruning observability (scan_stats): chunks kept vs total per
     predicate from pure metadata — what a scan WOULD prune, priced
@@ -607,6 +657,12 @@ def main(argv: list[str] | None = None) -> int:
     pm = sub.add_parser("meta")
     pm.add_argument("--input", required=True)
     pm.set_defaults(fn=cmd_meta)
+
+    pdel = sub.add_parser("delete")
+    pdel.add_argument("--input", required=True)
+    _pred_args(pdel)
+    pdel.add_argument("--output", required=True)
+    pdel.set_defaults(fn=cmd_delete)
 
     pc = sub.add_parser("compact")
     pc.add_argument("--input", required=True, help="encoded table path")

@@ -1241,6 +1241,63 @@ def scan_eq(
     return out.select(*[F.col(f"`{c}`") for c in columns])
 
 
+def _predicate_keepset(
+    blob_df: DataFrame,
+    ranges: dict[str, tuple] | None,
+    eqs: dict | None,
+):
+    """Shared metadata walk behind scan_table_where and delete_where:
+    validates the predicate conjunction, intersects each predicate's
+    zone-map/bloom/n_nulls kept row groups (metadata-only semi-joins),
+    and returns (blob_df_with_stats, keep_df, specs) where specs is a
+    list of (column, kind, value, spark_type) residual predicates with
+    kind in ge/le/eq/isnull — callers apply them exactly, Spark-side or
+    NumPy-side."""
+    ranges = dict(ranges or {})
+    eqs = dict(eqs or {})
+    if not ranges and not eqs:
+        raise ValueError("need at least one predicate")
+    overlap = set(ranges) & set(eqs)
+    if overlap:
+        raise ValueError(f"column in both ranges and eqs: {sorted(overlap)}")
+    blob_df = _ensure_stat_cols(blob_df, bloom=True)
+    specs = []  # (column, kind, value, spark_type)
+    keep = None
+    for col, (lo, hi) in ranges.items():
+        rows = blob_df.where(F.col("column") == col)
+        dtype = _resolve_dtype(rows, col, None, meta_src=blob_df)
+        styp = spark_type_of(dtype)
+        rows = _zonemap_filter(rows, styp, lo, hi)
+        ks = rows.select("part_id", "chunk_seq").distinct()
+        keep = ks if keep is None else keep.join(
+            ks, on=["part_id", "chunk_seq"], how="left_semi"
+        )
+        if lo is not None:
+            specs.append((col, "ge", lo, styp))
+        if hi is not None:
+            specs.append((col, "le", hi, styp))
+    for col, value in eqs.items():
+        rows = blob_df.where(F.col("column") == col)
+        dtype = _resolve_dtype(rows, col, None, meta_src=blob_df)
+        styp = spark_type_of(dtype)
+        if value is None:
+            # IS NULL predicate: n_nulls stat prunes all-present chunks
+            rows = rows.where(
+                F.col("n_nulls").isNull() | (F.col("n_nulls") > 0)
+            )
+            specs.append((col, "isnull", None, styp))
+        else:
+            value, probe_val = _normalize_eq_literal(dtype, value)
+            rows = _zonemap_filter(rows, styp, lo=value, hi=value)
+            rows = _bloom_probe_filter(rows, dtype, probe_val)
+            specs.append((col, "eq", value, styp))
+        ks = rows.select("part_id", "chunk_seq").distinct()
+        keep = ks if keep is None else keep.join(
+            ks, on=["part_id", "chunk_seq"], how="left_semi"
+        )
+    return blob_df, keep, specs
+
+
 def scan_table_where(
     blob_df: DataFrame,
     ranges: dict[str, tuple] | None = None,
@@ -1261,51 +1318,18 @@ def scan_table_where(
     multiplicatively: at 100 TB a date range keeping 2% of groups and a
     key bloom keeping 0.1% leaves ~0.002% of chunks to decode, which
     neither scan_table nor scan_eq alone can reach."""
-    ranges = dict(ranges or {})
-    eqs = dict(eqs or {})
-    if not ranges and not eqs:
-        raise ValueError("scan_table_where needs at least one predicate")
-    overlap = set(ranges) & set(eqs)
-    if overlap:
-        raise ValueError(f"column in both ranges and eqs: {sorted(overlap)}")
-    blob_df = _ensure_stat_cols(blob_df, bloom=True)
+    blob_df, keep, specs = _predicate_keepset(blob_df, ranges, eqs)
     residuals = []  # (column, Column predicate)
-    keep = None
-    for col, (lo, hi) in ranges.items():
-        rows = blob_df.where(F.col("column") == col)
-        dtype = _resolve_dtype(rows, col, None, meta_src=blob_df)
-        styp = spark_type_of(dtype)
-        rows = _zonemap_filter(rows, styp, lo, hi)
-        ks = rows.select("part_id", "chunk_seq").distinct()
-        keep = ks if keep is None else keep.join(
-            ks, on=["part_id", "chunk_seq"], how="left_semi"
-        )
+    for col, kind, value, styp in specs:
         vcol = F.col(f"`{col}`")
-        if lo is not None:
-            residuals.append((col, vcol >= F.lit(lo).cast(styp)))
-        if hi is not None:
-            residuals.append((col, vcol <= F.lit(hi).cast(styp)))
-    for col, value in eqs.items():
-        rows = blob_df.where(F.col("column") == col)
-        dtype = _resolve_dtype(rows, col, None, meta_src=blob_df)
-        styp = spark_type_of(dtype)
-        if value is None:
-            # IS NULL predicate: n_nulls stat prunes all-present chunks
-            rows = rows.where(
-                F.col("n_nulls").isNull() | (F.col("n_nulls") > 0)
-            )
-            residuals.append((col, F.col(f"`{col}`").isNull()))
-        else:
-            value, probe_val = _normalize_eq_literal(dtype, value)
-            rows = _zonemap_filter(rows, styp, lo=value, hi=value)
-            rows = _bloom_probe_filter(rows, dtype, probe_val)
-            residuals.append(
-                (col, F.col(f"`{col}`") == F.lit(value).cast(styp))
-            )
-        ks = rows.select("part_id", "chunk_seq").distinct()
-        keep = ks if keep is None else keep.join(
-            ks, on=["part_id", "chunk_seq"], how="left_semi"
-        )
+        if kind == "ge":
+            residuals.append((col, vcol >= F.lit(value).cast(styp)))
+        elif kind == "le":
+            residuals.append((col, vcol <= F.lit(value).cast(styp)))
+        elif kind == "eq":
+            residuals.append((col, vcol == F.lit(value).cast(styp)))
+        else:  # isnull
+            residuals.append((col, vcol.isNull()))
     pruned = _keepset_join(blob_df, keep, max_broadcast_groups)
     pred_cols = list(dict.fromkeys(c for c, _ in residuals))
     want = columns
@@ -1363,6 +1387,96 @@ def scan_stats(
         out_rows,
         "column string, kind string, chunks_total long, chunks_kept long",
     )
+
+
+def delete_where(
+    blob_df: DataFrame,
+    ranges: dict[str, tuple] | None = None,
+    eqs: dict | None = None,
+    codec: str = "auto",
+    compression: str = "auto",
+    max_broadcast_groups: int | None = 2_000_000,
+) -> DataFrame:
+    """DELETE rows matching the predicate conjunction — merge-on-write
+    DML over immutable chunks.
+
+    The same metadata walk that prunes scans decides what to rewrite:
+    row groups whose zone maps / blooms / n_nulls prove they contain NO
+    matching row pass through with their blob bytes untouched; only
+    possibly-affected groups are decoded, masked exactly, and
+    re-encoded (all columns of a group together, so (part_id,
+    chunk_seq) row alignment survives for decode_table).  A group whose
+    rows all match disappears entirely — consistently across columns.
+    At 100 TB a selective predicate rewrites the same ~fraction of
+    chunks a scan would read, not the table."""
+    have = {r["column"] for r in blob_df.select("column").distinct().collect()}
+    missing = sorted((set(ranges or {}) | set(eqs or {})) - have)
+    if missing:
+        raise ValueError(f"delete_where: predicate column(s) {missing} not in table")
+    blob_df, keep, specs = _predicate_keepset(blob_df, ranges, eqs)
+    # same broadcast-vs-shuffle guard as the scan path, for both sides
+    keep_small = max_broadcast_groups is None or keep.count() <= max_broadcast_groups
+    keep_j = F.broadcast(keep) if keep_small else keep
+    untouched = blob_df.join(keep_j, on=["part_id", "chunk_seq"], how="left_anti")
+    affected = blob_df.join(keep_j, on=["part_id", "chunk_seq"], how="left_semi")
+    out_schema = blob_df.schema
+    plain_specs = [(c, k, v) for c, k, v, _ in specs]
+
+    def rewrite_group(key, pdf):
+        import pyarrow.compute as pc
+
+        arrs: dict[str, tuple] = {}
+        for _, r in pdf.iterrows():
+            arr, dtype = arrow_chunk.decode_arrow_column(r["data"])
+            arrs[r["column"]] = (arr, dtype)
+        n = len(next(iter(arrs.values()))[0])
+        # conjunction mask, exact, SQL semantics (NULL compares False)
+        match = np.ones(n, dtype=bool)
+        for c, kind, value in plain_specs:
+            ser = arrs[c][0].to_pandas()
+            valid = ser.notna().to_numpy()
+            m = np.zeros(n, dtype=bool)
+            if kind == "isnull":
+                m = ~valid
+            else:
+                vv = ser[ser.notna()]
+                if kind == "ge":
+                    mm = (vv >= value).to_numpy()
+                elif kind == "le":
+                    mm = (vv <= value).to_numpy()
+                else:
+                    mm = (vv == value).to_numpy()
+                m[valid] = mm
+            match &= m
+        if not match.any():
+            return pdf  # zone map over-approximated: nothing to delete
+        keep_mask = ~match
+        if not keep_mask.any():
+            return pdf.iloc[0:0]  # whole group deleted, all columns
+        keep_pa = pa.array(keep_mask)
+        rows = []
+        for _, r in pdf.iterrows():
+            t0 = time.perf_counter()
+            arr, dtype = arrs[r["column"]]
+            kept = arr.filter(keep_pa)
+            blob, stats = arrow_chunk.encode_arrow_column(
+                kept, dtype, codec=codec, compression=compression,
+                fsst_state={},
+            )
+            smin, smax = arrow_chunk._column_stats(kept, dtype)
+            row = r.copy()
+            for f_ in _STATS_ROW_FIELDS:
+                row[f_] = stats.get(f_)
+            row["stat_min"], row["stat_max"] = smin, smax
+            row["wall_ms"] = (time.perf_counter() - t0) * 1000.0
+            row["data"] = blob
+            rows.append(row)
+        return pd.DataFrame(rows)
+
+    rewritten = affected.groupBy("part_id", "chunk_seq").applyInPandas(
+        rewrite_group, schema=out_schema
+    )
+    return untouched.unionByName(rewritten)
 
 
 def compact_chunks(

@@ -1,0 +1,129 @@
+"""delete_where: merge-on-write row deletion.  Exact SQL semantics
+(NULL never matches), pass-through bit-identity for provably-unaffected
+row groups, cross-column alignment, whole-group disappearance, and the
+CLI surface."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from parquetjs_spark import cli, pipeline
+
+
+@pytest.fixture(scope="module")
+def encoded(spark):
+    """4 partitions x 1500 sorted-ish rows, 3 columns, some NULLs."""
+    df = (
+        spark.range(6000)
+        .select(
+            F.col("id").alias("rid"),
+            (F.col("id") % 11).alias("k"),
+            F.when(F.col("id") % 7 == 0, None)
+            .otherwise(F.concat(F.lit("v"), F.col("id")))
+            .alias("s"),
+        )
+        .repartitionByRange(4, "rid")
+        .sortWithinPartitions("rid")
+    )
+    blobs = pipeline.encode_columns(df, chunk_rows=512).cache()
+    blobs.count()
+    return df, blobs
+
+
+class TestDeleteWhere:
+    def test_range_delete_exact(self, spark, encoded):
+        df, blobs = encoded
+        out = pipeline.delete_where(blobs, ranges={"rid": (1000, 1999)})
+        back = pipeline.decode_table(out, ["rid", "k", "s"])
+        got = sorted(r["rid"] for r in back.collect())
+        assert got == [i for i in range(6000) if not 1000 <= i <= 1999]
+        assert pipeline.verify_blobs(out).where(~F.col("ok")).count() == 0
+
+    def test_unaffected_groups_bit_identical(self, spark, encoded):
+        df, blobs = encoded
+        out = pipeline.delete_where(blobs, ranges={"rid": (0, 99)})
+        # rows sorted by rid: groups past the first chunk are provably
+        # unaffected and must carry their exact original bytes
+        orig = {
+            (r["part_id"], r["chunk_seq"], r["column"]): bytes(r["data"])
+            for r in blobs.collect()
+        }
+        changed = 0
+        for r in out.collect():
+            key = (r["part_id"], r["chunk_seq"], r["column"])
+            if bytes(r["data"]) != orig[key]:
+                changed += 1
+        # only the row groups overlapping rid<=99 re-encode: 1 group x 3 cols
+        assert changed <= 3, changed
+
+    def test_alignment_and_group_disappearance(self, spark, encoded):
+        df, blobs = encoded
+        # delete an entire chunk-aligned span: those groups vanish for
+        # ALL columns; every surviving (part_id, chunk_seq) keeps one
+        # consistent n across its 3 columns
+        out = pipeline.delete_where(blobs, ranges={"rid": (0, 1499)})
+        geom = (
+            out.groupBy("part_id", "chunk_seq")
+            .agg(F.countDistinct("n").alias("d"), F.count("*").alias("c"))
+        )
+        assert geom.where((F.col("d") != 1) | (F.col("c") != 3)).count() == 0
+        back = pipeline.decode_table(out, ["rid", "s"])
+        assert back.count() == 4500
+        assert back.agg(F.min("rid")).collect()[0][0] == 1500
+
+    def test_null_rows_never_match(self, spark, encoded):
+        df, blobs = encoded
+        # s >= 'v' matches every non-null s; NULL s rows must survive
+        out = pipeline.delete_where(blobs, ranges={"s": ("v", None)})
+        back = pipeline.decode_table(out, ["rid", "s"])
+        rows = back.collect()
+        assert all(r["s"] is None for r in rows)
+        assert len(rows) == sum(1 for i in range(6000) if i % 7 == 0)
+
+    def test_eq_and_conjunction(self, spark, encoded):
+        df, blobs = encoded
+        out = pipeline.delete_where(
+            blobs, ranges={"rid": (0, 2999)}, eqs={"k": 3}
+        )
+        back = pipeline.decode_table(out, ["rid", "k"])
+        want = [
+            i for i in range(6000) if not (i <= 2999 and i % 11 == 3)
+        ]
+        assert sorted(r["rid"] for r in back.collect()) == want
+
+    def test_is_null_delete(self, spark, encoded):
+        df, blobs = encoded
+        out = pipeline.delete_where(blobs, eqs={"s": None})
+        back = pipeline.decode_table(out, ["rid", "s"])
+        rows = back.collect()
+        assert all(r["s"] is not None for r in rows)
+        assert len(rows) == sum(1 for i in range(6000) if i % 7 != 0)
+
+    def test_missing_predicate_column_raises(self, spark, encoded):
+        _, blobs = encoded
+        with pytest.raises(ValueError, match="not in table"):
+            pipeline.delete_where(blobs, eqs={"nope": 1})
+
+
+def test_cli_delete_roundtrip(tmp_path, spark, capsys):
+    src = str(tmp_path / "src.parquet")
+    enc = str(tmp_path / "enc")
+    out = str(tmp_path / "deleted")
+    spark.range(2000).select(
+        F.col("id").alias("rid"), (F.col("id") % 5).alias("k")
+    ).coalesce(2).write.parquet(src)
+    assert cli.main(["encode", "--input", src, "--output", enc,
+                     "--chunk-rows", "256"]) == 0
+    capsys.readouterr()
+    rc = cli.main(["delete", "--input", enc, "--output", out,
+                   "--range", "rid:500..999"])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep == {"rows_before": 2000, "rows_after": 1500,
+                   "rows_deleted": 500}
+    assert cli.main(["verify", "--input", out]) == 0
+    # guards: in-place and no-predicate both exit 2
+    assert cli.main(["delete", "--input", enc, "--output", enc,
+                     "--range", "rid:0..1"]) == 2
+    assert cli.main(["delete", "--input", enc, "--output", out]) == 2
