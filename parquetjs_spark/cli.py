@@ -424,6 +424,61 @@ def cmd_delete(args) -> int:
     return 0
 
 
+def cmd_update(args) -> int:
+    """Merge-on-write UPDATE: --set COL=VALUE / --set-null COL applied
+    to rows matching the predicate conjunction; only the SET columns of
+    possibly-affected row groups re-encode (pipeline.update_where)."""
+    import os as _os
+
+    from parquetjs_spark import pipeline
+
+    if _os.path.realpath(args.input) == _os.path.realpath(args.output):
+        print("error: update --output must differ from --input "
+              "(in-place rewrite is not supported)", file=sys.stderr)
+        return 2
+    if not (args.set or args.set_null):
+        print("error: update needs at least one --set/--set-null",
+              file=sys.stderr)
+        return 2
+    spark = _spark(args)
+    blobs = pipeline.read_encoded(spark, args.input)
+    dtype_of = _manifest_dtypes(spark, pipeline, args.input)
+    ranges, eqs = _parse_predicates(args, dtype_of)
+    if not ranges and not eqs:
+        print("error: update needs at least one --range/--eq/--is-null",
+              file=sys.stderr)
+        return 2
+    assignments = {}
+    for spec in args.set or []:
+        if "=" not in spec:
+            print(f"error: --set expects COL=VALUE, got {spec!r}",
+                  file=sys.stderr)
+            return 2
+        col, raw = spec.split("=", 1)
+        assignments[col] = _typed_literal(dtype_of(col), raw)
+    for col in args.set_null or []:
+        assignments[col] = None
+    first_file = (blobs.inputFiles() or [""])[0]
+    try:
+        out = pipeline.update_where(
+            blobs, assignments, ranges=ranges, eqs=eqs
+        ).cache()
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    try:
+        meta = pipeline.read_metadata(spark, args.input)
+        pipeline.write_encoded(
+            out, args.output, mode="overwrite", metadata=meta,
+            partition_by_column="/column=" in first_file,
+        )
+        chunks = pipeline.read_manifest(spark, args.output).count()
+    finally:
+        out.unpersist()
+    print(json.dumps({"columns_set": sorted(assignments), "chunks": chunks}))
+    return 0
+
+
 def cmd_stats(args) -> int:
     """Pruning observability (scan_stats): chunks kept vs total per
     predicate from pure metadata — what a scan WOULD prune, priced
@@ -663,6 +718,17 @@ def main(argv: list[str] | None = None) -> int:
     _pred_args(pdel)
     pdel.add_argument("--output", required=True)
     pdel.set_defaults(fn=cmd_delete)
+
+    pu = sub.add_parser("update")
+    pu.add_argument("--input", required=True)
+    _pred_args(pu)
+    pu.add_argument("--set", action="append", default=None,
+                    metavar="COL=VALUE",
+                    help="assignment applied to matching rows (repeatable)")
+    pu.add_argument("--set-null", action="append", default=None,
+                    metavar="COL", help="null out this column on matching rows")
+    pu.add_argument("--output", required=True)
+    pu.set_defaults(fn=cmd_update)
 
     pc = sub.add_parser("compact")
     pc.add_argument("--input", required=True, help="encoded table path")

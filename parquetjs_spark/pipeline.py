@@ -1479,6 +1479,106 @@ def delete_where(
     return untouched.unionByName(rewritten)
 
 
+def update_where(
+    blob_df: DataFrame,
+    assignments: dict,
+    ranges: dict[str, tuple] | None = None,
+    eqs: dict | None = None,
+    codec: str = "auto",
+    compression: str = "auto",
+    max_broadcast_groups: int | None = 2_000_000,
+) -> DataFrame:
+    """Merge-on-write UPDATE: ``SET col = literal`` (or NULL) on rows
+    matching the predicate conjunction — the redaction/scrub shape a
+    governed corpus needs (strip PII emails, null a leaked field).
+
+    Cheaper than DELETE: row counts never change, so only the SET
+    columns of possibly-affected row groups re-encode — every other
+    column of every group, and every group the metadata walk proves
+    unaffected, passes through with its blob bytes untouched."""
+    if not assignments:
+        raise ValueError("update_where needs at least one assignment")
+    have = {r["column"] for r in blob_df.select("column").distinct().collect()}
+    missing = sorted(
+        (set(assignments) | set(ranges or {}) | set(eqs or {})) - have
+    )
+    if missing:
+        raise ValueError(f"update_where: column(s) {missing} not in table")
+    blob_df, keep, specs = _predicate_keepset(blob_df, ranges, eqs)
+    set_cols = sorted(assignments)
+    pred_cols = sorted({c for c, _, _, _ in specs})
+    group_cols = sorted(set(set_cols) | set(pred_cols))
+    keep_small = max_broadcast_groups is None or keep.count() <= max_broadcast_groups
+    keep_j = F.broadcast(keep) if keep_small else keep
+    in_keep = blob_df.join(keep_j, on=["part_id", "chunk_seq"], how="left_semi")
+    passthrough = blob_df.join(
+        keep_j, on=["part_id", "chunk_seq"], how="left_anti"
+    ).unionByName(in_keep.where(~F.col("column").isin(set_cols)))
+    rewrite_in = in_keep.where(F.col("column").isin(group_cols))
+    out_schema = blob_df.schema
+    plain_specs = [(c, k, v) for c, k, v, _ in specs]
+
+    def rewrite_group(key, pdf):
+        import pyarrow.compute as pc
+
+        arrs: dict[str, tuple] = {}
+        for _, r in pdf.iterrows():
+            arr, dtype = arrow_chunk.decode_arrow_column(r["data"])
+            arrs[r["column"]] = (arr, dtype)
+        n = len(next(iter(arrs.values()))[0])
+        match = np.ones(n, dtype=bool)
+        for c, kind, value in plain_specs:
+            ser = arrs[c][0].to_pandas()
+            valid = ser.notna().to_numpy()
+            m = np.zeros(n, dtype=bool)
+            if kind == "isnull":
+                m = ~valid
+            else:
+                vv = ser[ser.notna()]
+                if kind == "ge":
+                    mm = (vv >= value).to_numpy()
+                elif kind == "le":
+                    mm = (vv <= value).to_numpy()
+                else:
+                    mm = (vv == value).to_numpy()
+                m[valid] = mm
+            match &= m
+        sub = pdf[pdf["column"].isin(set_cols)]
+        if not match.any():
+            return sub  # over-approximated keep-set: nothing to change
+        mask_pa = pa.array(match)
+        rows = []
+        for _, r in sub.iterrows():
+            t0 = time.perf_counter()
+            arr, dtype = arrs[r["column"]]
+            try:
+                scalar = pa.scalar(assignments[r["column"]], type=arr.type)
+            except (pa.ArrowInvalid, pa.ArrowTypeError) as e:
+                raise ValueError(
+                    f"update_where: value for {r['column']!r} incompatible "
+                    f"with {arr.type}: {e}"
+                ) from e
+            updated = pc.if_else(mask_pa, scalar, arr)
+            blob, stats = arrow_chunk.encode_arrow_column(
+                updated, dtype, codec=codec, compression=compression,
+                fsst_state={},
+            )
+            smin, smax = arrow_chunk._column_stats(updated, dtype)
+            row = r.copy()
+            for f_ in _STATS_ROW_FIELDS:
+                row[f_] = stats.get(f_)
+            row["stat_min"], row["stat_max"] = smin, smax
+            row["wall_ms"] = (time.perf_counter() - t0) * 1000.0
+            row["data"] = blob
+            rows.append(row)
+        return pd.DataFrame(rows)
+
+    rewritten = rewrite_in.groupBy("part_id", "chunk_seq").applyInPandas(
+        rewrite_group, schema=out_schema
+    )
+    return passthrough.unionByName(rewritten)
+
+
 def compact_chunks(
     blob_df: DataFrame,
     min_rows: int = 1024,

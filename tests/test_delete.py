@@ -127,3 +127,89 @@ def test_cli_delete_roundtrip(tmp_path, spark, capsys):
     assert cli.main(["delete", "--input", enc, "--output", enc,
                      "--range", "rid:0..1"]) == 2
     assert cli.main(["delete", "--input", enc, "--output", out]) == 2
+
+
+class TestUpdateWhere:
+    def test_set_constant_exact(self, spark, encoded):
+        df, blobs = encoded
+        out = pipeline.update_where(
+            blobs, {"k": 99}, ranges={"rid": (1000, 1999)}
+        )
+        back = pipeline.decode_table(out, ["rid", "k"])
+        for r in back.collect():
+            want = 99 if 1000 <= r["rid"] <= 1999 else r["rid"] % 11
+            assert r["k"] == want, (r["rid"], r["k"])
+        assert pipeline.verify_blobs(out).where(~F.col("ok")).count() == 0
+
+    def test_only_set_columns_rewrite(self, spark, encoded):
+        df, blobs = encoded
+        out = pipeline.update_where(
+            blobs, {"k": 7}, ranges={"rid": (0, 99)}
+        )
+        orig = {
+            (r["part_id"], r["chunk_seq"], r["column"]): bytes(r["data"])
+            for r in blobs.collect()
+        }
+        changed = [
+            k for r in out.collect()
+            if bytes(r["data"]) != orig[k := (r["part_id"], r["chunk_seq"], r["column"])]
+        ]
+        # sorted rid: one affected group, and ONLY its k chunk rewrites
+        assert len(changed) <= 1 and all(c[2] == "k" for c in changed), changed
+        # row counts and alignment intact
+        assert pipeline.decode_table(out, ["rid", "k", "s"]).count() == 6000
+
+    def test_set_null_and_conjunction(self, spark, encoded):
+        df, blobs = encoded
+        out = pipeline.update_where(
+            blobs, {"s": None}, ranges={"rid": (0, 2999)}, eqs={"k": 3}
+        )
+        back = pipeline.decode_table(out, ["rid", "k", "s"])
+        for r in back.collect():
+            hit = r["rid"] <= 2999 and r["rid"] % 11 == 3
+            if hit:
+                assert r["s"] is None
+            elif r["rid"] % 7 != 0:
+                assert r["s"] == f"v{r['rid']}"
+
+    def test_validation(self, spark, encoded):
+        _, blobs = encoded
+        with pytest.raises(ValueError, match="not in table"):
+            pipeline.update_where(blobs, {"nope": 1}, ranges={"rid": (0, 1)})
+        with pytest.raises(ValueError, match="at least one assignment"):
+            pipeline.update_where(blobs, {}, ranges={"rid": (0, 1)})
+        with pytest.raises(ValueError, match="at least one predicate"):
+            pipeline.update_where(blobs, {"k": 1})
+
+
+def test_cli_update_roundtrip(tmp_path, spark, capsys):
+    import duckdb
+
+    src = str(tmp_path / "usrc.parquet")
+    enc = str(tmp_path / "uenc")
+    out = str(tmp_path / "uout")
+    rows_dir = str(tmp_path / "urows")
+    spark.range(2000).select(
+        F.col("id").alias("rid"), (F.col("id") % 5).alias("k")
+    ).coalesce(2).write.parquet(src)
+    assert cli.main(["encode", "--input", src, "--output", enc,
+                     "--chunk-rows", "256"]) == 0
+    rc = cli.main(["update", "--input", enc, "--output", out,
+                   "--range", "rid:500..999", "--set", "k=42"])
+    assert rc == 0
+    assert cli.main(["verify", "--input", out]) == 0
+    assert cli.main(["decode-table", "--input", out,
+                     "--output", rows_dir]) == 0
+    got = duckdb.sql(
+        f"SELECT rid, k FROM '{rows_dir}/*.parquet' ORDER BY rid"
+    ).fetchall()
+    want = duckdb.sql(
+        f"SELECT rid, CASE WHEN rid BETWEEN 500 AND 999 THEN 42 "
+        f"ELSE k END AS k FROM '{src}/*.parquet' ORDER BY rid"
+    ).fetchall()
+    assert got == want
+    # guards
+    assert cli.main(["update", "--input", enc, "--output", out,
+                     "--range", "rid:0..1"]) == 2  # no --set
+    assert cli.main(["update", "--input", enc, "--output", out,
+                     "--set", "k=1"]) == 2  # no predicate
