@@ -255,6 +255,10 @@ def _typed_literal(dtype: str, raw: str):
             return int(raw)
         if dtype in ("float64", "float32"):
             return float(raw)
+        if dtype == "bool":
+            if raw.lower() in ("true", "false", "1", "0"):
+                return raw.lower() in ("true", "1")
+            raise ValueError(raw)
         if dtype == "date" or dtype.startswith("timestamp"):
             import datetime as _dt
 
@@ -374,19 +378,55 @@ def cmd_where(args) -> int:
     return 0
 
 
+def _reject_in_place(args) -> bool:
+    import os as _os
+
+    if _os.path.realpath(args.input) == _os.path.realpath(args.output):
+        print(f"error: {args.cmd} --output must differ from --input "
+              "(in-place rewrite is not supported)", file=sys.stderr)
+        return True
+    return False
+
+
+def _write_rewritten(spark, args, blobs, out_df) -> int | None:
+    """Shared tail of compact/delete/update: preserve the input's
+    --partition-by-column layout (auto-detected, flag overrides),
+    cache so the blobs and manifest writes share one execution, carry
+    the user KV metadata, and surface executor-side failures as the
+    exit-2 contract.  Returns None on failure (error already printed),
+    else the output chunk count."""
+    from pyspark.errors.exceptions.base import PySparkException
+
+    from parquetjs_spark import pipeline
+
+    first_file = (blobs.inputFiles() or [""])[0]
+    part_by_col = (
+        getattr(args, "partition_by_column", False) or "/column=" in first_file
+    )
+    out = out_df.cache()
+    try:
+        meta = pipeline.read_metadata(spark, args.input)
+        pipeline.write_encoded(
+            out, args.output, mode="overwrite", metadata=meta,
+            partition_by_column=part_by_col,
+        )
+        return pipeline.read_manifest(spark, args.output).count()
+    except PySparkException as e:
+        print(f"error: {args.cmd} failed during rewrite: {e}", file=sys.stderr)
+        return None
+    finally:
+        out.unpersist()
+
+
 def cmd_delete(args) -> int:
     """Merge-on-write DELETE: rows matching the predicate conjunction
     are removed; only possibly-affected row groups re-encode, the rest
     pass through bit-identical (pipeline.delete_where)."""
-    import os as _os
-
     from pyspark.sql import functions as F
 
     from parquetjs_spark import pipeline
 
-    if _os.path.realpath(args.input) == _os.path.realpath(args.output):
-        print("error: delete --output must differ from --input "
-              "(in-place rewrite is not supported)", file=sys.stderr)
+    if _reject_in_place(args):
         return 2
     spark = _spark(args)
     blobs = pipeline.read_encoded(spark, args.input)
@@ -398,25 +438,18 @@ def cmd_delete(args) -> int:
         return 2
     per_col = blobs.groupBy("column").agg(F.sum("n").alias("rows")).collect()
     rows_before = per_col[0]["rows"] if per_col else 0
-    first_file = (blobs.inputFiles() or [""])[0]
     try:
-        out = pipeline.delete_where(blobs, ranges=ranges, eqs=eqs).cache()
+        out = pipeline.delete_where(blobs, ranges=ranges, eqs=eqs)
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)
         return 2
-    try:
-        meta = pipeline.read_metadata(spark, args.input)
-        pipeline.write_encoded(
-            out, args.output, mode="overwrite", metadata=meta,
-            partition_by_column="/column=" in first_file,
-        )
-        after = (
-            pipeline.read_manifest(spark, args.output)
-            .groupBy("column").agg(F.sum("n").alias("rows")).collect()
-        )
-        rows_after = after[0]["rows"] if after else 0
-    finally:
-        out.unpersist()
+    if _write_rewritten(spark, args, blobs, out) is None:
+        return 2
+    after = (
+        pipeline.read_manifest(spark, args.output)
+        .groupBy("column").agg(F.sum("n").alias("rows")).collect()
+    )
+    rows_after = after[0]["rows"] if after else 0
     print(json.dumps({
         "rows_before": rows_before, "rows_after": rows_after,
         "rows_deleted": rows_before - rows_after,
@@ -428,13 +461,9 @@ def cmd_update(args) -> int:
     """Merge-on-write UPDATE: --set COL=VALUE / --set-null COL applied
     to rows matching the predicate conjunction; only the SET columns of
     possibly-affected row groups re-encode (pipeline.update_where)."""
-    import os as _os
-
     from parquetjs_spark import pipeline
 
-    if _os.path.realpath(args.input) == _os.path.realpath(args.output):
-        print("error: update --output must differ from --input "
-              "(in-place rewrite is not supported)", file=sys.stderr)
+    if _reject_in_place(args):
         return 2
     if not (args.set or args.set_null):
         print("error: update needs at least one --set/--set-null",
@@ -458,23 +487,14 @@ def cmd_update(args) -> int:
         assignments[col] = _typed_literal(dtype_of(col), raw)
     for col in args.set_null or []:
         assignments[col] = None
-    first_file = (blobs.inputFiles() or [""])[0]
     try:
-        out = pipeline.update_where(
-            blobs, assignments, ranges=ranges, eqs=eqs
-        ).cache()
+        out = pipeline.update_where(blobs, assignments, ranges=ranges, eqs=eqs)
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)
         return 2
-    try:
-        meta = pipeline.read_metadata(spark, args.input)
-        pipeline.write_encoded(
-            out, args.output, mode="overwrite", metadata=meta,
-            partition_by_column="/column=" in first_file,
-        )
-        chunks = pipeline.read_manifest(spark, args.output).count()
-    finally:
-        out.unpersist()
+    chunks = _write_rewritten(spark, args, blobs, out)
+    if chunks is None:
+        return 2
     print(json.dumps({"columns_set": sorted(assignments), "chunks": chunks}))
     return 0
 
@@ -528,8 +548,6 @@ def cmd_meta(args) -> int:
 
 
 def cmd_compact(args) -> int:
-    import os as _os
-
     from parquetjs_spark import pipeline
 
     if args.min_rows > args.target_rows:
@@ -537,28 +555,17 @@ def cmd_compact(args) -> int:
         return 2
     # in-place compaction would overwrite the table mid-read (and a
     # path-normalization near-miss could destroy the input outright)
-    if _os.path.realpath(args.input) == _os.path.realpath(args.output):
-        print("error: compact --output must differ from --input "
-              "(in-place compaction is not supported)", file=sys.stderr)
+    if _reject_in_place(args):
         return 2
     spark = _spark(args)
     blobs = pipeline.read_encoded(spark, args.input)
     before = blobs.count()
-    # preserve a --partition-by-column input layout unless overridden
-    first_file = (blobs.inputFiles() or [""])[0]
-    part_by_col = args.partition_by_column or "/column=" in first_file
     out = pipeline.compact_chunks(
         blobs, min_rows=args.min_rows, target_rows=args.target_rows
-    ).cache()  # write_encoded writes blobs then manifest: one execution
-    try:
-        meta = pipeline.read_metadata(spark, args.input)
-        pipeline.write_encoded(
-            out, args.output, mode="overwrite", metadata=meta,
-            partition_by_column=part_by_col,
-        )
-        after = pipeline.read_manifest(spark, args.output).count()
-    finally:
-        out.unpersist()
+    )
+    after = _write_rewritten(spark, args, blobs, out)
+    if after is None:
+        return 2
     print(json.dumps({"chunks_before": before, "chunks_after": after}))
     return 0
 
@@ -717,6 +724,9 @@ def main(argv: list[str] | None = None) -> int:
     pdel.add_argument("--input", required=True)
     _pred_args(pdel)
     pdel.add_argument("--output", required=True)
+    pdel.add_argument("--partition-by-column", action="store_true",
+                      help="write one storage partition per column "
+                      "(auto-detected from the input layout by default)")
     pdel.set_defaults(fn=cmd_delete)
 
     pu = sub.add_parser("update")
@@ -728,6 +738,9 @@ def main(argv: list[str] | None = None) -> int:
     pu.add_argument("--set-null", action="append", default=None,
                     metavar="COL", help="null out this column on matching rows")
     pu.add_argument("--output", required=True)
+    pu.add_argument("--partition-by-column", action="store_true",
+                    help="write one storage partition per column "
+                    "(auto-detected from the input layout by default)")
     pu.set_defaults(fn=cmd_update)
 
     pc = sub.add_parser("compact")

@@ -1389,6 +1389,108 @@ def scan_stats(
     )
 
 
+def _coerce_temporal_value(value, dtype: str):
+    """ISO-string literal -> python temporal for date/timestamp
+    columns (pa.scalar cannot convert str to date32/timestamp); other
+    dtypes/values pass through untouched."""
+    import datetime as _dt
+
+    if not isinstance(value, str):
+        return value
+    if dtype == "date":
+        return _dt.date.fromisoformat(value)
+    if dtype.startswith("timestamp"):
+        probe = value[:-1] + "+00:00" if value.endswith(("Z", "z")) else value
+        dt = _dt.datetime.fromisoformat(probe)
+        if dt.tzinfo is not None:
+            dt = dt.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return dt
+    return value
+
+
+def _match_mask(arrs: dict, specs: list, n: int) -> np.ndarray:
+    """Exact residual-conjunction mask over decoded columns, matching
+    the Spark residual semantics scan_table_where applies:
+
+      * NULL never matches a comparison (only isnull) — validity comes
+        from the arrow bitmap, NOT pandas notna(), which would conflate
+        float NaN with NULL;
+      * float NaN is valid data and orders LARGEST (Spark/DuckDB
+        ordering): NaN >= anything, NaN == only NaN;
+      * temporal CLI literals arrive as ISO strings and coerce to the
+        decoded column's dtype (incl. tz-aware vs naive mismatches
+        that would otherwise raise in the executor)."""
+    import datetime as _dt
+
+    match = np.ones(n, dtype=bool)
+    for c, kind, value, styp in specs:
+        arr = arrs[c][0]
+        valid = arr.is_valid().to_numpy(zero_copy_only=False)
+        m = np.zeros(n, dtype=bool)
+        if kind == "isnull":
+            m = ~valid
+        else:
+            ser = arr.to_pandas()
+            if isinstance(value, str) and isinstance(
+                styp, (T.TimestampType, T.TimestampNTZType)
+            ):
+                ts = pd.Timestamp(value)
+                tz = getattr(ser.dtype, "tz", None)
+                if ts.tzinfo is None and tz is not None:
+                    ts = ts.tz_localize("UTC")
+                elif ts.tzinfo is not None and tz is None:
+                    ts = ts.tz_convert("UTC").tz_localize(None)
+                elif ts.tzinfo is not None:
+                    ts = ts.tz_convert(tz)
+                value = ts
+            elif isinstance(value, str) and isinstance(styp, T.DateType):
+                value = _dt.date.fromisoformat(value)
+            vv = ser[valid]
+            if kind == "ge":
+                mm = vv >= value
+            elif kind == "le":
+                mm = vv <= value
+            else:
+                mm = vv == value
+            mm = mm.fillna(False).to_numpy(dtype=bool)
+            if isinstance(styp, (T.FloatType, T.DoubleType)):
+                nans = vv.isna().to_numpy()  # genuine NaN (valid rows)
+                vnan = isinstance(value, float) and value != value
+                if kind == "ge":
+                    mm[nans] = True
+                else:  # le / eq: only a NaN literal matches NaN
+                    mm[nans] = vnan
+            m[valid] = mm
+        match &= m
+    return match
+
+
+def _split_by_keepset(
+    blob_df: DataFrame, keep: DataFrame, max_broadcast_groups: int | None
+):
+    """(untouched, affected) split of the blob table around the
+    metadata keep-set — evaluated ONCE: a selective set collects to
+    the driver and re-broadcasts (the per-predicate semi-join DAG
+    would otherwise re-run for the count, the anti- and the
+    semi-join); past the guard fall back to shuffle joins on the
+    uncollected set."""
+    on = ["part_id", "chunk_seq"]
+    if max_broadcast_groups is not None:
+        rows = keep.limit(max_broadcast_groups + 1).collect()
+        if len(rows) <= max_broadcast_groups:
+            spark = blob_df.sparkSession
+            keep_df = spark.createDataFrame(rows, keep.schema)
+            kj = F.broadcast(keep_df)
+            return (
+                blob_df.join(kj, on=on, how="left_anti"),
+                blob_df.join(kj, on=on, how="left_semi"),
+            )
+    return (
+        blob_df.join(keep, on=on, how="left_anti"),
+        blob_df.join(keep, on=on, how="left_semi"),
+    )
+
+
 def delete_where(
     blob_df: DataFrame,
     ranges: dict[str, tuple] | None = None,
@@ -1409,45 +1511,21 @@ def delete_where(
     rows all match disappears entirely — consistently across columns.
     At 100 TB a selective predicate rewrites the same ~fraction of
     chunks a scan would read, not the table."""
-    have = {r["column"] for r in blob_df.select("column").distinct().collect()}
+    have = {r["column"] for r in _meta_rows_for(blob_df)}
     missing = sorted((set(ranges or {}) | set(eqs or {})) - have)
     if missing:
         raise ValueError(f"delete_where: predicate column(s) {missing} not in table")
     blob_df, keep, specs = _predicate_keepset(blob_df, ranges, eqs)
-    # same broadcast-vs-shuffle guard as the scan path, for both sides
-    keep_small = max_broadcast_groups is None or keep.count() <= max_broadcast_groups
-    keep_j = F.broadcast(keep) if keep_small else keep
-    untouched = blob_df.join(keep_j, on=["part_id", "chunk_seq"], how="left_anti")
-    affected = blob_df.join(keep_j, on=["part_id", "chunk_seq"], how="left_semi")
+    untouched, affected = _split_by_keepset(blob_df, keep, max_broadcast_groups)
     out_schema = blob_df.schema
-    plain_specs = [(c, k, v) for c, k, v, _ in specs]
 
     def rewrite_group(key, pdf):
-        import pyarrow.compute as pc
-
         arrs: dict[str, tuple] = {}
         for _, r in pdf.iterrows():
             arr, dtype = arrow_chunk.decode_arrow_column(r["data"])
             arrs[r["column"]] = (arr, dtype)
         n = len(next(iter(arrs.values()))[0])
-        # conjunction mask, exact, SQL semantics (NULL compares False)
-        match = np.ones(n, dtype=bool)
-        for c, kind, value in plain_specs:
-            ser = arrs[c][0].to_pandas()
-            valid = ser.notna().to_numpy()
-            m = np.zeros(n, dtype=bool)
-            if kind == "isnull":
-                m = ~valid
-            else:
-                vv = ser[ser.notna()]
-                if kind == "ge":
-                    mm = (vv >= value).to_numpy()
-                elif kind == "le":
-                    mm = (vv <= value).to_numpy()
-                else:
-                    mm = (vv == value).to_numpy()
-                m[valid] = mm
-            match &= m
+        match = _match_mask(arrs, specs, n)
         if not match.any():
             return pdf  # zone map over-approximated: nothing to delete
         keep_mask = ~match
@@ -1498,25 +1576,30 @@ def update_where(
     unaffected, passes through with its blob bytes untouched."""
     if not assignments:
         raise ValueError("update_where needs at least one assignment")
-    have = {r["column"] for r in blob_df.select("column").distinct().collect()}
+    meta_rows = _meta_rows_for(blob_df)
+    have = {r["column"] for r in meta_rows}
     missing = sorted(
         (set(assignments) | set(ranges or {}) | set(eqs or {})) - have
     )
     if missing:
         raise ValueError(f"update_where: column(s) {missing} not in table")
+    # temporal assignments from the CLI arrive as ISO strings: coerce
+    # eagerly (driver-side) so a bad literal fails here, not inside an
+    # executor mid-write
+    dtype_of = {r["column"]: r["dtype"] for r in meta_rows}
+    assignments = {
+        c: _coerce_temporal_value(v, dtype_of[c]) for c, v in assignments.items()
+    }
     blob_df, keep, specs = _predicate_keepset(blob_df, ranges, eqs)
     set_cols = sorted(assignments)
     pred_cols = sorted({c for c, _, _, _ in specs})
     group_cols = sorted(set(set_cols) | set(pred_cols))
-    keep_small = max_broadcast_groups is None or keep.count() <= max_broadcast_groups
-    keep_j = F.broadcast(keep) if keep_small else keep
-    in_keep = blob_df.join(keep_j, on=["part_id", "chunk_seq"], how="left_semi")
-    passthrough = blob_df.join(
-        keep_j, on=["part_id", "chunk_seq"], how="left_anti"
-    ).unionByName(in_keep.where(~F.col("column").isin(set_cols)))
+    untouched, in_keep = _split_by_keepset(blob_df, keep, max_broadcast_groups)
+    passthrough = untouched.unionByName(
+        in_keep.where(~F.col("column").isin(set_cols))
+    )
     rewrite_in = in_keep.where(F.col("column").isin(group_cols))
     out_schema = blob_df.schema
-    plain_specs = [(c, k, v) for c, k, v, _ in specs]
 
     def rewrite_group(key, pdf):
         import pyarrow.compute as pc
@@ -1526,23 +1609,7 @@ def update_where(
             arr, dtype = arrow_chunk.decode_arrow_column(r["data"])
             arrs[r["column"]] = (arr, dtype)
         n = len(next(iter(arrs.values()))[0])
-        match = np.ones(n, dtype=bool)
-        for c, kind, value in plain_specs:
-            ser = arrs[c][0].to_pandas()
-            valid = ser.notna().to_numpy()
-            m = np.zeros(n, dtype=bool)
-            if kind == "isnull":
-                m = ~valid
-            else:
-                vv = ser[ser.notna()]
-                if kind == "ge":
-                    mm = (vv >= value).to_numpy()
-                elif kind == "le":
-                    mm = (vv <= value).to_numpy()
-                else:
-                    mm = (vv == value).to_numpy()
-                m[valid] = mm
-            match &= m
+        match = _match_mask(arrs, specs, n)
         sub = pdf[pdf["column"].isin(set_cols)]
         if not match.any():
             return sub  # over-approximated keep-set: nothing to change

@@ -213,3 +213,71 @@ def test_cli_update_roundtrip(tmp_path, spark, capsys):
                      "--range", "rid:0..1"]) == 2  # no --set
     assert cli.main(["update", "--input", enc, "--output", out,
                      "--set", "k=1"]) == 2  # no predicate
+
+
+class TestDmlSemanticEdges:
+    """Review-found edges: NaN vs NULL in floats, temporal literals as
+    ISO strings, boolean eq predicates."""
+
+    @pytest.fixture(scope="class")
+    def float_blobs(self, spark):
+        rows = [(0, 1.5), (1, float("nan")), (2, None), (3, 9.0), (4, float("nan"))]
+        df = spark.createDataFrame(rows, "rid long, f double").coalesce(1)
+        blobs = pipeline.encode_columns(df, chunk_rows=2).cache()
+        blobs.count()
+        return blobs
+
+    def test_is_null_spares_nan(self, spark, float_blobs):
+        out = pipeline.delete_where(float_blobs, eqs={"f": None})
+        back = pipeline.decode_table(out, ["rid", "f"])
+        kept = sorted(r["rid"] for r in back.collect())
+        assert kept == [0, 1, 3, 4]  # only the true NULL row deleted
+
+    def test_range_matches_nan_like_spark(self, spark, float_blobs):
+        # Spark/DuckDB order NaN largest: f >= 2.0 matches 9.0 AND NaNs
+        out = pipeline.delete_where(float_blobs, ranges={"f": (2.0, None)})
+        kept = sorted(
+            r["rid"] for r in pipeline.decode_table(out, ["rid"]).collect()
+        )
+        assert kept == [0, 2]
+
+    def test_temporal_string_bounds(self, spark):
+        df = spark.createDataFrame(
+            [(i, f"2020-0{1 + i % 6}-15 12:00:00") for i in range(600)],
+            "rid long, ts_s string",
+        ).select("rid", F.to_timestamp("ts_s").alias("ts")).coalesce(2)
+        blobs = pipeline.encode_columns(df, chunk_rows=128)
+        # ISO strings with and without Z, exactly as the CLI passes them
+        out = pipeline.delete_where(
+            blobs,
+            ranges={"ts": ("2020-02-01T00:00:00Z", "2020-03-31 23:59:59")},
+        )
+        back = pipeline.decode_table(out, ["rid", "ts"])
+        months = {r["ts"].month for r in back.collect()}
+        assert months == {1, 4, 5, 6}
+
+    def test_bool_eq_delete(self, spark):
+        df = spark.createDataFrame(
+            [(i, i % 3 == 0) for i in range(300)], "rid long, flag boolean"
+        ).coalesce(1)
+        blobs = pipeline.encode_columns(df, chunk_rows=64)
+        out = pipeline.delete_where(blobs, eqs={"flag": True})
+        kept = pipeline.decode_table(out, ["rid", "flag"]).collect()
+        assert len(kept) == 200 and all(r["flag"] is False for r in kept)
+
+    def test_update_temporal_set_string(self, spark):
+        df = spark.createDataFrame(
+            [(i, f"2021-01-{1 + i % 28:02d} 08:00:00") for i in range(200)],
+            "rid long, ts_s string",
+        ).select("rid", F.to_timestamp("ts_s").alias("ts")).coalesce(1)
+        blobs = pipeline.encode_columns(df, chunk_rows=64)
+        # CLI shape: the SET literal is an ISO string
+        out = pipeline.update_where(
+            blobs, {"ts": "2030-01-01T00:00:00"}, ranges={"rid": (0, 49)}
+        )
+        back = pipeline.decode_table(out, ["rid", "ts"])
+        for r in back.collect():
+            if r["rid"] <= 49:
+                assert r["ts"].year == 2030
+            else:
+                assert r["ts"].year == 2021
