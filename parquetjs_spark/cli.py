@@ -33,6 +33,10 @@ def _spark(args):
         b.config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
+        # temporal semantics assume UTC wall clocks end to end: the
+        # Z-suffix literal coercion in the DML mask path and the stored
+        # naive timestamps must agree regardless of the driver's OS tz
+        .config("spark.sql.session.timeZone", "UTC")
         .getOrCreate()
     )
 
@@ -394,7 +398,8 @@ def _write_rewritten(spark, args, blobs, out_df) -> int | None:
     cache so the blobs and manifest writes share one execution, carry
     the user KV metadata, and surface executor-side failures as the
     exit-2 contract.  Returns None on failure (error already printed),
-    else the output chunk count."""
+    else the output-manifest DataFrame (callers aggregate it once —
+    no redundant re-read job)."""
     from pyspark.errors.exceptions.base import PySparkException
 
     from parquetjs_spark import pipeline
@@ -410,7 +415,7 @@ def _write_rewritten(spark, args, blobs, out_df) -> int | None:
             out, args.output, mode="overwrite", metadata=meta,
             partition_by_column=part_by_col,
         )
-        return pipeline.read_manifest(spark, args.output).count()
+        return pipeline.read_manifest(spark, args.output)
     except PySparkException as e:
         print(f"error: {args.cmd} failed during rewrite: {e}", file=sys.stderr)
         return None
@@ -443,12 +448,10 @@ def cmd_delete(args) -> int:
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)
         return 2
-    if _write_rewritten(spark, args, blobs, out) is None:
+    man = _write_rewritten(spark, args, blobs, out)
+    if man is None:
         return 2
-    after = (
-        pipeline.read_manifest(spark, args.output)
-        .groupBy("column").agg(F.sum("n").alias("rows")).collect()
-    )
+    after = man.groupBy("column").agg(F.sum("n").alias("rows")).collect()
     rows_after = after[0]["rows"] if after else 0
     print(json.dumps({
         "rows_before": rows_before, "rows_after": rows_after,
@@ -492,10 +495,10 @@ def cmd_update(args) -> int:
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)
         return 2
-    chunks = _write_rewritten(spark, args, blobs, out)
-    if chunks is None:
+    man = _write_rewritten(spark, args, blobs, out)
+    if man is None:
         return 2
-    print(json.dumps({"columns_set": sorted(assignments), "chunks": chunks}))
+    print(json.dumps({"columns_set": sorted(assignments), "chunks": man.count()}))
     return 0
 
 
@@ -563,10 +566,10 @@ def cmd_compact(args) -> int:
     out = pipeline.compact_chunks(
         blobs, min_rows=args.min_rows, target_rows=args.target_rows
     )
-    after = _write_rewritten(spark, args, blobs, out)
-    if after is None:
+    man = _write_rewritten(spark, args, blobs, out)
+    if man is None:
         return 2
-    print(json.dumps({"chunks_before": before, "chunks_after": after}))
+    print(json.dumps({"chunks_before": before, "chunks_after": man.count()}))
     return 0
 
 

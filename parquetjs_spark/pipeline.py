@@ -1267,6 +1267,11 @@ def _predicate_keepset(
         rows = blob_df.where(F.col("column") == col)
         dtype = _resolve_dtype(rows, col, None, meta_src=blob_df)
         styp = spark_type_of(dtype)
+        # ISO-string temporal bounds coerce ONCE here, driver-side:
+        # Spark lit() and the DML numpy mask then see the same typed
+        # value (and a bad literal fails before any job starts)
+        lo = _coerce_temporal_value(lo, dtype) if lo is not None else None
+        hi = _coerce_temporal_value(hi, dtype) if hi is not None else None
         rows = _zonemap_filter(rows, styp, lo, hi)
         ks = rows.select("part_id", "chunk_seq").distinct()
         keep = ks if keep is None else keep.join(
@@ -1417,11 +1422,9 @@ def _match_mask(arrs: dict, specs: list, n: int) -> np.ndarray:
         float NaN with NULL;
       * float NaN is valid data and orders LARGEST (Spark/DuckDB
         ordering): NaN >= anything, NaN == only NaN;
-      * temporal CLI literals arrive as ISO strings and coerce to the
-        decoded column's dtype (incl. tz-aware vs naive mismatches
-        that would otherwise raise in the executor)."""
-    import datetime as _dt
-
+      * temporal literals were already coerced driver-side
+        (_predicate_keepset / _coerce_temporal_value), so values here
+        are typed python objects, never raw ISO strings."""
     match = np.ones(n, dtype=bool)
     for c, kind, value, styp in specs:
         arr = arrs[c][0]
@@ -1430,22 +1433,7 @@ def _match_mask(arrs: dict, specs: list, n: int) -> np.ndarray:
         if kind == "isnull":
             m = ~valid
         else:
-            ser = arr.to_pandas()
-            if isinstance(value, str) and isinstance(
-                styp, (T.TimestampType, T.TimestampNTZType)
-            ):
-                ts = pd.Timestamp(value)
-                tz = getattr(ser.dtype, "tz", None)
-                if ts.tzinfo is None and tz is not None:
-                    ts = ts.tz_localize("UTC")
-                elif ts.tzinfo is not None and tz is None:
-                    ts = ts.tz_convert("UTC").tz_localize(None)
-                elif ts.tzinfo is not None:
-                    ts = ts.tz_convert(tz)
-                value = ts
-            elif isinstance(value, str) and isinstance(styp, T.DateType):
-                value = _dt.date.fromisoformat(value)
-            vv = ser[valid]
+            vv = arr.to_pandas()[valid]
             if kind == "ge":
                 mm = vv >= value
             elif kind == "le":
@@ -1457,37 +1445,50 @@ def _match_mask(arrs: dict, specs: list, n: int) -> np.ndarray:
                 nans = vv.isna().to_numpy()  # genuine NaN (valid rows)
                 vnan = isinstance(value, float) and value != value
                 if kind == "ge":
-                    mm[nans] = True
-                else:  # le / eq: only a NaN literal matches NaN
-                    mm[nans] = vnan
+                    mm[nans] = True  # NaN >= anything (NaN largest)
+                elif kind == "le":
+                    if vnan:
+                        mm[:] = True  # anything <= NaN, incl. NaN
+                    else:
+                        mm[nans] = False
+                else:
+                    mm[nans] = vnan  # NaN == only NaN
             m[valid] = mm
         match &= m
     return match
+
+
+# below this, a keep-set collects to the driver and re-broadcasts as a
+# LocalRelation (the per-predicate semi-join DAG then runs exactly
+# once); between this and max_broadcast_groups it stays a broadcast
+# JVM-side plan (DAG evaluated per join, but never shuffled)
+_KEEPSET_COLLECT_ROWS = 100_000
 
 
 def _split_by_keepset(
     blob_df: DataFrame, keep: DataFrame, max_broadcast_groups: int | None
 ):
     """(untouched, affected) split of the blob table around the
-    metadata keep-set — evaluated ONCE: a selective set collects to
-    the driver and re-broadcasts (the per-predicate semi-join DAG
-    would otherwise re-run for the count, the anti- and the
-    semi-join); past the guard fall back to shuffle joins on the
-    uncollected set."""
+    metadata keep-set.  Same contract as _keepset_join:
+    ``max_broadcast_groups=None`` skips the guard and always
+    broadcasts.  Small keep-sets additionally collect to the driver so
+    the keep DAG is evaluated once total instead of once per join."""
     on = ["part_id", "chunk_seq"]
-    if max_broadcast_groups is not None:
-        rows = keep.limit(max_broadcast_groups + 1).collect()
-        if len(rows) <= max_broadcast_groups:
-            spark = blob_df.sparkSession
-            keep_df = spark.createDataFrame(rows, keep.schema)
-            kj = F.broadcast(keep_df)
-            return (
-                blob_df.join(kj, on=on, how="left_anti"),
-                blob_df.join(kj, on=on, how="left_semi"),
+    if max_broadcast_groups is None:
+        kj = F.broadcast(keep)
+    else:
+        probe = keep.limit(_KEEPSET_COLLECT_ROWS + 1).collect()
+        if len(probe) <= _KEEPSET_COLLECT_ROWS:
+            kj = F.broadcast(
+                blob_df.sparkSession.createDataFrame(probe, keep.schema)
             )
+        elif keep.count() <= max_broadcast_groups:
+            kj = F.broadcast(keep)
+        else:
+            kj = keep
     return (
-        blob_df.join(keep, on=on, how="left_anti"),
-        blob_df.join(keep, on=on, how="left_semi"),
+        blob_df.join(kj, on=on, how="left_anti"),
+        blob_df.join(kj, on=on, how="left_semi"),
     )
 
 
