@@ -423,6 +423,64 @@ def _write_rewritten(spark, args, blobs, out_df) -> int | None:
         out.unpersist()
 
 
+def cmd_append(args) -> int:
+    """Incremental ingest: encode NEW source rows and union them into
+    an existing encoded table (pipeline.union_encoded — the existing
+    blob bytes pass through untouched, part_ids shift past the old
+    maximum).  Column order follows the existing table's manifest so
+    col_idx stays consistent across both halves."""
+    from pyspark.sql import functions as F
+
+    from parquetjs_spark import pipeline
+    from parquetjs_spark.sources.iceberg import load_source_table
+
+    if _reject_in_place(args):
+        return 2
+    spark = _spark(args)
+    blobs = pipeline.read_encoded(spark, args.input)
+    man_cols = (
+        pipeline.read_manifest(spark, args.input)
+        .select("column", "col_idx")
+        .distinct()
+        .orderBy("col_idx")
+        .collect()
+    )
+    # top-level column order of the existing table (nested leaves and
+    # @def chunks fold back to their top-level name)
+    order = []
+    for r in man_cols:
+        top = r["column"].split(".", 1)[0].split("@", 1)[0]
+        if top not in order:
+            order.append(top)
+    try:
+        src = load_source_table(spark, args.source)
+    except RuntimeError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    missing = [c for c in order if c not in src.columns]
+    if missing:
+        print(f"error: --source lacks column(s) {missing} of the "
+              f"existing table (has: {src.columns})", file=sys.stderr)
+        return 2
+    if args.partitions:
+        src = src.repartition(args.partitions)
+    new = pipeline.encode_columns(src, order, chunk_rows=args.chunk_rows)
+    try:
+        out = pipeline.union_encoded(blobs, new)
+    except ValueError as e:  # dtype mismatch etc.
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    man = _write_rewritten(spark, args, blobs, out)
+    if man is None:
+        return 2
+    rows = man.groupBy("column").agg(F.sum("n").alias("rows")).collect()
+    print(json.dumps({
+        "rows_total": rows[0]["rows"] if rows else 0,
+        "chunks_total": man.count(),
+    }))
+    return 0
+
+
 def cmd_delete(args) -> int:
     """Merge-on-write DELETE: rows matching the predicate conjunction
     are removed; only possibly-affected row groups re-encode, the rest
@@ -722,6 +780,18 @@ def main(argv: list[str] | None = None) -> int:
     pm = sub.add_parser("meta")
     pm.add_argument("--input", required=True)
     pm.set_defaults(fn=cmd_meta)
+
+    pa_ = sub.add_parser("append")
+    pa_.add_argument("--input", required=True, help="existing encoded table")
+    pa_.add_argument("--source", required=True,
+                     help="parquet path or iceberg:<ref> with the new rows")
+    pa_.add_argument("--output", required=True)
+    pa_.add_argument("--chunk-rows", type=int, default=4096)
+    pa_.add_argument("--partitions", type=int, default=None)
+    pa_.add_argument("--partition-by-column", action="store_true",
+                     help="write one storage partition per column "
+                     "(auto-detected from the input layout by default)")
+    pa_.set_defaults(fn=cmd_append)
 
     pdel = sub.add_parser("delete")
     pdel.add_argument("--input", required=True)

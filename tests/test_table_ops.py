@@ -5,7 +5,7 @@ blob bytes never move or re-encode."""
 import pytest
 from pyspark.sql import functions as F
 
-from parquetjs_spark import pipeline
+from parquetjs_spark import cli, pipeline
 
 
 @pytest.fixture(scope="module")
@@ -132,3 +132,36 @@ class TestSchemaEvolution:
         back = pipeline.decode_table(rt, ["rid", "text"])
         assert back.count() == 3500
         assert back.where(F.col("text") == "s3210").count() == 1
+
+
+def test_cli_append_roundtrip(tmp_path, spark, capsys):
+    src_a = str(tmp_path / "a.parquet")
+    src_b = str(tmp_path / "b.parquet")
+    enc = str(tmp_path / "enc")
+    app = str(tmp_path / "appended")
+    mk = lambda lo, n: spark.range(lo, lo + n).select(
+        F.col("id").alias("rid"), (F.col("id") % 9).alias("k")
+    ).coalesce(2)
+    mk(0, 1000).write.parquet(src_a)
+    mk(1000, 700).write.parquet(src_b)
+    assert cli.main(["encode", "--input", src_a, "--output", enc,
+                     "--chunk-rows", "256"]) == 0
+    capsys.readouterr()
+    rc = cli.main(["append", "--input", enc, "--source", src_b,
+                   "--output", app, "--chunk-rows", "256"])
+    assert rc == 0
+    import json as _json
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["rows_total"] == 1700
+    assert cli.main(["verify", "--input", app]) == 0
+    rt = pipeline.read_encoded(spark, app)
+    got = sorted(r["rid"] for r in pipeline.decode_table(rt, ["rid"]).collect())
+    assert got == list(range(1700))
+    # schema mismatch exits 2
+    bad = str(tmp_path / "bad.parquet")
+    spark.range(5).select(F.col("id").alias("rid")).write.parquet(bad)
+    assert cli.main(["append", "--input", enc, "--source", bad,
+                     "--output", app + "2"]) == 2
+    # in-place refused
+    assert cli.main(["append", "--input", enc, "--source", src_b,
+                     "--output", enc]) == 2
