@@ -306,7 +306,18 @@ def _select_string_codec(block: StrBlock, fsst_state: dict | None) -> tuple[str,
     total = block.total
     lens = block.lens
     uniform = bool(n) and bool((lens == lens[0]).all())
-    sample = block.slice_values(min(n, SAMPLE_VALUES))
+    # sample bounded by VALUES and BYTES: a 4096-value sample of long
+    # documents is MBs, and the pc.dictionary_encode cardinality probe
+    # over it costs more than the chunk encode itself (the FSST/INCR
+    # probes below were always byte-capped; the dict probe was not).
+    # Long-value columns probe ~SAMPLE_BYTES worth of values instead —
+    # cardinality ratios at that size are as decisive, and short-string
+    # columns (where dict actually wins) never hit the byte cap.
+    k = min(n, SAMPLE_VALUES)
+    rel = block.offsets - block.offsets[0]
+    if rel[k] > SAMPLE_BYTES:
+        k = min(k, max(64, int(np.searchsorted(rel, SAMPLE_BYTES))))
+    sample = block.slice_values(k)
     arr = sample.to_pa(binary=True)
     denc = pc.dictionary_encode(arr)
     card = len(denc.dictionary)

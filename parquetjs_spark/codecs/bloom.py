@@ -63,12 +63,13 @@ def hash_ints(vals: np.ndarray) -> np.ndarray:
 def _edge_word(
     arr: np.ndarray, idx: np.ndarray, mask: np.ndarray
 ) -> np.ndarray:
-    """Gather 8 masked bytes per row into one LE uint64 word."""
-    vals = arr[idx].astype(np.uint64)
+    """Gather 8 masked bytes per row into one LE uint64 word.
+
+    The gathered (n, 8) uint8 matrix IS the little-endian byte layout of
+    the result — one view instead of eight shift/or passes."""
+    vals = arr[idx]  # fancy indexing: fresh contiguous (n, 8) uint8
     vals[~mask] = 0
-    shifts = (np.uint64(8) * np.arange(8, dtype=np.uint64))[None, :]
-    with np.errstate(over="ignore"):
-        return np.bitwise_or.reduce(np.left_shift(vals, shifts), axis=1)
+    return vals.view("<u8").reshape(len(vals))
 
 
 def hash_bytes_arrays(data: bytes, offsets: np.ndarray) -> np.ndarray:

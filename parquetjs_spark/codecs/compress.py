@@ -91,26 +91,31 @@ def decompress(name: str, data) -> bytes:
     return _pa_codec(name).decompress(data[8:], raw_len, asbytes=True)
 
 
-_ZSTD9: pa.Codec | None = None
+_ZSTD_SMALL: pa.Codec | None = None
 
 
 def auto_compress(data: bytes) -> tuple[str, bytes]:
-    """The 'auto' block-compression policy: ZSTD — level 3 for large
-    sections (measured on the documents corpus: matches zlib-6's size on
-    FSST payloads at ~5x the encode speed and ~3x the decode speed),
-    level 9 for sections <= 64 KB (numeric/RLE/DICT chunks: measured on
-    the sf0.01 small-chunk population, zstd-9 is SMALLER than the best
-    of {zstd-3, zlib-6} AND ~40% cheaper than trying both, which the
-    previous policy did).  Kept only if it buys >= 3% (decode isn't
-    free); falls back to zlib if zstd isn't compiled in.  Explicit
-    compression names bypass this policy.  The wire id is plain ZSTD
-    either way — frames self-describe, decode is level-blind."""
-    global _ZSTD9
+    """The 'auto' block-compression policy: ZSTD — the pyarrow default
+    level for large sections (measured on the documents corpus: matches
+    zlib-6's size on FSST payloads at ~5x the encode speed and ~3x the
+    decode speed), level 5 for sections <= 64 KB (numeric/RLE/DICT
+    chunks).  Re-measured round 7 on the real per-column lineitem value
+    sections: the previous level 9 bought only 0.5-4% size over mid
+    levels while costing 2-4x the CPU — and the sections the 0.97 gate
+    stores UNCOMPRESSED anyway (packed ids, high-entropy floats) still
+    paid the slow attempt on every chunk; level 5 is smaller than 9 was
+    nowhere worse than 0.3% and ~2.4x faster end-to-end (whole-table
+    encode 1.38 s -> 1.17 s, ratio 0.2297 -> 0.2273).  Kept only if it
+    buys >= 3% (decode isn't free); falls back to zlib if zstd isn't
+    compiled in.  Explicit compression names bypass this policy.  The
+    wire id is plain ZSTD either way — frames self-describe, decode is
+    level-blind."""
+    global _ZSTD_SMALL
     try:
         if len(data) <= 65536:
-            if _ZSTD9 is None:
-                _ZSTD9 = pa.Codec("zstd", compression_level=9)
-            z = len(data).to_bytes(8, "little") + _ZSTD9.compress(
+            if _ZSTD_SMALL is None:
+                _ZSTD_SMALL = pa.Codec("zstd", compression_level=5)
+            z = len(data).to_bytes(8, "little") + _ZSTD_SMALL.compress(
                 data, asbytes=True
             )
         else:

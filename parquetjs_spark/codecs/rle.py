@@ -32,72 +32,89 @@ import numpy as np
 
 from .util import pack_bits, run_lengths, unpack_bits, varint_decode, varint_encode
 
+# RLE headers repeat heavily (same run shapes chunk after chunk) — a
+# precomputed table turns the per-piece varint into one list index
+_VARINT_CACHE = [varint_encode(i) for i in range(4096)]
+
+
+def _varint(value: int) -> bytes:
+    if value < 4096:
+        return _VARINT_CACHE[value]
+    return varint_encode(value)
+
 
 def encode(values, bit_width: int, disable_envelope: bool = False) -> bytes:
     """Encode non-negative ints with the reference's greedy hybrid.
 
-    Two phases: the segmentation walk over runs does pure integer
-    bookkeeping (it only records literal spans and repeats), then ALL
-    literal spans are bit-packed in ONE ``pack_bits`` call over their
-    concatenated 8-padded values — each padded span is byte-aligned
-    (8*width bits per group), so the single packed buffer slices back
-    into per-span payloads.  Byte-identical to emitting span by span
-    (golden-vector parity tests), but without per-span NumPy dispatch,
-    which dominated numeric-table encode."""
+    Two phases: the segmentation walk does pure integer bookkeeping (it
+    only records literal spans and repeats), then ALL literal spans are
+    bit-packed in ONE ``pack_bits`` call over their concatenated
+    8-padded values — each padded span is byte-aligned (8*width bits per
+    group), so the single packed buffer slices back into per-span
+    payloads.  Byte-identical to emitting span by span (golden-vector
+    parity tests), but without per-span NumPy dispatch.
+
+    The segmentation walk visits only CANDIDATE runs (length >= 2):
+    length-1 runs merely extend the pending literal span, whose length
+    falls out of run positions (pos - lit_start), so high-entropy data
+    — dictionary codes, packed ids — costs O(candidates), not O(runs),
+    Python iterations.  Semantics are unchanged from the reference rule
+    (rle.js:56-76): a repeat may only start at an 8-boundary of the
+    pending literal run (leading values absorb into the literal span),
+    and needs >= 2 repeats left after absorption."""
     v = np.ascontiguousarray(np.asarray(values), dtype=np.uint64)
     run_vals, run_lens = run_lengths(v)
+    n = len(v)
 
-    # phase 1: segmentation — ints only
+    # phase 1: segmentation — ints only, candidate runs only
+    run_starts = np.empty(len(run_lens), dtype=np.int64)
+    if len(run_lens):
+        run_starts[0] = 0
+        np.cumsum(run_lens[:-1], out=run_starts[1:])
+    cand = np.flatnonzero(run_lens >= 2)
     pieces: list[tuple] = []  # ("lit", start, n) | ("rep", value, count)
     lit_start = 0
-    lit_len = 0
-    pos = 0
-    for rv, rl in zip(run_vals.tolist(), run_lens.tolist()):
-        if rl >= 2:
-            # reference rule: the repeat may only start at an 8-boundary of
-            # the pending literal run; leading values of this run are
-            # absorbed into the literal span until the boundary (rle.js:59).
-            absorb = (-lit_len) % 8
-            absorb = min(absorb, rl)
-            if rl - absorb >= 2:
-                lit_len += absorb
-                if lit_len:
-                    pieces.append(("lit", lit_start, lit_len))
-                pieces.append(("rep", rv, rl - absorb))
-                lit_start = pos + rl
-                lit_len = 0
-            else:
-                lit_len += rl
-        else:
-            lit_len += rl
-        pos += rl
-    if lit_len:
-        pieces.append(("lit", lit_start, lit_len))
+    for pos, rl, rv in zip(
+        run_starts[cand].tolist(), run_lens[cand].tolist(), run_vals[cand].tolist()
+    ):
+        lit_len = pos - lit_start  # every value since the last rep piece
+        absorb = (-lit_len) % 8
+        if absorb > rl:
+            absorb = rl
+        if rl - absorb >= 2:
+            lit_len += absorb
+            if lit_len:
+                pieces.append(("lit", lit_start, lit_len))
+            pieces.append(("rep", rv, rl - absorb))
+            lit_start = pos + rl
+        # else: the whole run stays pending literal (implicit via positions)
+    if n - lit_start:
+        pieces.append(("lit", lit_start, n - lit_start))
 
     # phase 2: one batched pack of every literal span
-    lit_total = sum((n + 7) // 8 * 8 for kind, _, n in pieces if kind == "lit")
+    lit_total = sum((pn + 7) // 8 * 8 for kind, _, pn in pieces if kind == "lit")
     packed = b""
     span_bytes = bit_width  # bytes per 8-value group
     if lit_total:
         allv = np.zeros(lit_total, dtype=np.uint64)
         off = 0
-        for kind, a, n in pieces:
+        for kind, a, pn in pieces:
             if kind == "lit":
-                allv[off : off + n] = v[a : a + n]
-                off += (n + 7) // 8 * 8
+                allv[off : off + pn] = v[a : a + pn]
+                off += (pn + 7) // 8 * 8
         packed = pack_bits(allv, bit_width)
 
     out: list[bytes] = []
     rep_nbytes = (bit_width + 7) // 8
     boff = 0
-    for kind, a, n in pieces:
+    for kind, a, pn in pieces:
         if kind == "lit":
-            groups = (n + 7) // 8
-            out.append(varint_encode(groups << 1 | 1))
+            groups = (pn + 7) // 8
+            out.append(_varint(groups << 1 | 1))
             out.append(packed[boff : boff + groups * span_bytes])
             boff += groups * span_bytes
         else:
-            out.append(varint_encode(n << 1))
+            out.append(_varint(pn << 1))
             # ceil(bitWidth/8) LE bytes; 0 bytes when width==0
             # (rle.js:22 Buffer.alloc)
             out.append(int(a).to_bytes(rep_nbytes, "little"))
@@ -114,27 +131,81 @@ def decode(
     bit_width: int,
     disable_envelope: bool = False,
 ) -> np.ndarray:
-    """Decode `count` values; returns uint64 ndarray (rle.js:122-150)."""
+    """Decode `count` values; returns uint64 ndarray (rle.js:122-150).
+
+    Batched: one cheap header-parse loop (ints + list appends only)
+    collects every run, then ALL bit-packed payloads unpack in a single
+    ``unpack_bits`` call (the width is constant for the whole stream)
+    and ALL repeated runs materialize in one ``np.repeat``, scattered
+    into place by a run-kind mask.  The previous per-run
+    unpack_bits/np.full calls dominated numeric-table decode (~65% of
+    verify CPU): a 4096-value dict-code chunk holds hundreds of runs,
+    each paying full NumPy dispatch for a handful of values."""
     offset = 0
     if not disable_envelope:
         offset += 4  # skip the 4-byte LE length prefix (rle.js:127-129)
-    parts: list[np.ndarray] = []
-    got = 0
     nbytes_rep = (bit_width + 7) // 8
+    run_kind: list[bool] = []  # True = bit-packed
+    run_n: list[int] = []
+    packed_spans: list[tuple[int, int]] = []  # (offset, nbytes)
+    rep_offs: list[int] = []
+    rep_ns: list[int] = []
+    got = 0
     while got < count:
         header, offset = varint_decode(buf, offset)
         if header & 1:
             n = (header >> 1) * 8
-            parts.append(unpack_bits(memoryview(buf)[offset:], bit_width, n))
-            offset += bit_width * (n // 8)
-            got += n
+            nb = bit_width * (n // 8)
+            packed_spans.append((offset, nb))
+            run_kind.append(True)
+            run_n.append(n)
+            offset += nb
         else:
             n = header >> 1
-            value = int.from_bytes(bytes(buf[offset : offset + nbytes_rep]), "little")
+            rep_offs.append(offset)
+            rep_ns.append(n)
+            run_kind.append(False)
+            run_n.append(n)
             offset += nbytes_rep
-            parts.append(np.full(n, value, dtype=np.uint64))
-            got += n
-    if not parts:  # count == 0: empty column chunk
+        got += n
+    if not run_n:  # count == 0: empty column chunk
         return np.empty(0, dtype=np.uint64)
-    values = parts[0] if len(parts) == 1 else np.concatenate(parts)
-    return values[:count]  # trim bit-pack padding (rle.js:143)
+    if len(run_n) == 1:  # single run: no scatter needed
+        if run_kind[0]:
+            o, nb = packed_spans[0]
+            vals = unpack_bits(memoryview(buf)[o : o + nb], bit_width, run_n[0])
+        else:
+            o = rep_offs[0]
+            value = int.from_bytes(bytes(buf[o : o + nbytes_rep]), "little")
+            vals = np.full(run_n[0], value, dtype=np.uint64)
+        return vals[:count]  # trim bit-pack padding (rle.js:143)
+    kinds = np.array(run_kind, dtype=bool)
+    ns = np.array(run_n, dtype=np.int64)
+    mask = np.repeat(kinds, ns)
+    out = np.empty(got, dtype=np.uint64)
+    if packed_spans:
+        if len(packed_spans) == 1:
+            o, nb = packed_spans[0]
+            pbuf = memoryview(buf)[o : o + nb]
+        else:
+            # flushed literal spans are byte-aligned (multiples of 8
+            # values), so their payloads concatenate into one packable
+            # stream
+            pbuf = b"".join(
+                bytes(memoryview(buf)[o : o + nb]) for o, nb in packed_spans
+            )
+        n_packed = int(ns[kinds].sum())
+        out[mask] = unpack_bits(pbuf, bit_width, n_packed)
+    if rep_ns:
+        # gather every repeated value's LE bytes in nbytes_rep vector
+        # passes instead of one int.from_bytes per run
+        arr8 = np.frombuffer(buf, dtype=np.uint8, count=len(buf))
+        offs = np.array(rep_offs, dtype=np.int64)
+        if nbytes_rep:
+            vals = arr8[offs].astype(np.uint64)
+            for b in range(1, nbytes_rep):
+                vals |= arr8[offs + b].astype(np.uint64) << np.uint64(8 * b)
+        else:  # width 0: repeated zeros
+            vals = np.zeros(len(rep_offs), dtype=np.uint64)
+        out[~mask] = np.repeat(vals, np.array(rep_ns, dtype=np.int64))
+    return out[:count]  # trim bit-pack padding (rle.js:143)

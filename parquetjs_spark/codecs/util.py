@@ -63,6 +63,12 @@ def pack_bits(values: np.ndarray, width: int) -> bytes:
 
     Output length = ceil(len(values)*width/8) bytes. Caller is responsible
     for any run padding (RLE pads to a multiple of 8 values).
+
+    Two routes, byte-identical output: tiny widths use one shift-mask
+    pass per bit; wider values go through the LE byte view -> unpackbits
+    -> slice -> packbits pipeline, whose cost is ~3 C passes regardless
+    of width (the per-bit loop was O(width) passes — 48-bit timestamp
+    offsets paid 48 of them per chunk).
     """
     if width == 0:
         return b""
@@ -70,11 +76,17 @@ def pack_bits(values: np.ndarray, width: int) -> bytes:
     n = len(v)
     if n == 0:
         return b""
-    # bits[i, j] = bit j of value i (LSB-first), flattened row-major gives
-    # the exact stream order of the reference encoder.
-    bits = np.empty((n, width), dtype=np.uint8)
-    for j in range(width):  # width <= 64 iterations, each vectorized over n
-        bits[:, j] = (v >> np.uint64(j)) & np.uint64(1)
+    if width <= 4:
+        bits = np.empty((n, width), dtype=np.uint8)
+        for j in range(width):
+            bits[:, j] = (v >> np.uint64(j)) & np.uint64(1)
+        return np.packbits(bits.reshape(-1), bitorder="little").tobytes()
+    # bits[i, j] = bit j of value i (LSB-first): unpack the value's own
+    # little-endian bytes and keep the low `width` bits per value —
+    # flattened row-major gives the exact stream order of the reference
+    # encoder.
+    raw = v.view(np.uint8).reshape(n, 8)
+    bits = np.unpackbits(raw, axis=1, bitorder="little", count=64)[:, :width]
     return np.packbits(bits.reshape(-1), bitorder="little").tobytes()
 
 
@@ -85,10 +97,17 @@ def unpack_bits(buf: bytes | memoryview, width: int, count: int) -> np.ndarray:
     raw = np.frombuffer(buf, dtype=np.uint8, count=(count * width + 7) // 8)
     bits = np.unpackbits(raw, bitorder="little", count=count * width)
     bits = bits.reshape(count, width)
-    out = np.zeros(count, dtype=np.uint64)
-    for j in range(width):
-        out |= bits[:, j].astype(np.uint64) << np.uint64(j)
-    return out
+    if width <= 4:
+        out = np.zeros(count, dtype=np.uint64)
+        for j in range(width):
+            out |= bits[:, j].astype(np.uint64) << np.uint64(j)
+        return out
+    # pad each value's bits to 64 and reinterpret as LE uint64 — the
+    # same ~3-C-pass shape as pack_bits (the per-bit loop cost O(width)
+    # vector passes per run)
+    full = np.zeros((count, 64), dtype=np.uint8)
+    full[:, :width] = bits
+    return np.packbits(full, axis=1, bitorder="little").view("<u8").reshape(count)
 
 
 # ---------------------------------------------------------------------------

@@ -628,7 +628,19 @@ def encode_columns(
     """
     cols = columns or df.columns
     df, cols, dtypes, pretty = flatten_struct_columns(df, cols)
-    if fsst_tables is None and codec in ("auto", "FSST"):
+    if fsst_tables is None and codec == "FSST":
+        # forced FSST: symbol-table quality directly sets output size, so
+        # pay one content-deterministic pretraining pass (round-4 fix).
+        # Under codec="auto" the measured post-compression comparison
+        # guards quality per chunk BY CONSTRUCTION — a task-local table
+        # that compresses poorly simply loses the selection to PLAIN
+        # post-zstd, so a bad sample can never degrade the output, and
+        # the pretraining pass (a second full read of every string byte
+        # of the table — at 100 TB, a second 100 TB scan) buys nothing:
+        # measured round 7 on the bench corpus, pretrained vs per-task
+        # tables select identical codecs and identical sizes on every
+        # string column.  Callers wanting one global table under auto
+        # still pass fsst_tables=pretrain_fsst_tables(...) explicitly.
         fsst_tables = pretrain_fsst_tables(df, cols, dtypes)
 
     def encode_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
