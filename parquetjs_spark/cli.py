@@ -499,8 +499,12 @@ def cmd_delete(args) -> int:
         print("error: delete needs at least one --range/--eq/--is-null",
               file=sys.stderr)
         return 2
+    # deterministic row total (ADVICE r6 low): take MAX over per-column
+    # sums instead of an arbitrary row of an unordered collect — every
+    # column of a consistent table sums equal, and if that invariant
+    # ever breaks, max() at least reports a stable number
     per_col = blobs.groupBy("column").agg(F.sum("n").alias("rows")).collect()
-    rows_before = per_col[0]["rows"] if per_col else 0
+    rows_before = max((r["rows"] for r in per_col), default=0)
     try:
         out = pipeline.delete_where(blobs, ranges=ranges, eqs=eqs)
     except ValueError as e:
@@ -510,7 +514,7 @@ def cmd_delete(args) -> int:
     if man is None:
         return 2
     after = man.groupBy("column").agg(F.sum("n").alias("rows")).collect()
-    rows_after = after[0]["rows"] if after else 0
+    rows_after = max((r["rows"] for r in after), default=0)
     print(json.dumps({
         "rows_before": rows_before, "rows_after": rows_after,
         "rows_deleted": rows_before - rows_after,

@@ -74,9 +74,50 @@ def _build_pattern(symbols: list[bytes]) -> re.Pattern:
     return re.compile(b"|".join(parts))
 
 
-def _tokenize(data: bytes, symbols: list[bytes]) -> list[bytes]:
+def _tokenize_regex(data: bytes, symbols: list[bytes]) -> list[bytes]:
     pat = _build_pattern(symbols)
     return [m.group(0) for m in pat.finditer(data)]
+
+
+def _tokenize(data: bytes, symbols: list[bytes]) -> list[bytes]:
+    """Token stream of the greedy parse — derived from the VECTORIZED
+    encoder's output instead of a regex finditer walk (which paid
+    per-match interpreter cost and dominated ``train``).  The compressed
+    stream IS the tokenization: non-escape bytes are symbol codes,
+    escape pairs are literal byte tokens."""
+    payload = compress(data, symbols)
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    n = len(arr)
+    if n == 0:
+        return []
+    # classify positions exactly as decompress does
+    kind = np.zeros(n, dtype=np.uint8)  # 0=code 1=escape-marker 2=literal
+    is_ff = arr == ESCAPE
+    if is_ff.any():
+        rv, rl = run_lengths(is_ff.view(np.uint8))
+        run_starts = np.zeros(len(rl), dtype=np.int64)
+        np.cumsum(rl[:-1], out=run_starts[1:])
+        ffsel = rv == 1
+        ff_starts = run_starts[ffsel]
+        ff_lens = rl[ffsel]
+        pos_ff = np.flatnonzero(is_ff)
+        off = pos_ff - np.repeat(ff_starts, ff_lens)
+        kind[pos_ff] = np.where(off % 2 == 0, 1, 2).astype(np.uint8)
+        ends = ff_starts + ff_lens
+        carry = (ff_lens % 2 == 1) & (ends < n)
+        kind[ends[carry]] = 2
+    symarr = np.empty(256, dtype=object)
+    symarr[:] = _SINGLE
+    for i, s in enumerate(symbols):
+        symarr[i] = s
+    ent = kind != 1
+    vals = arr[ent]
+    kinds_e = kind[ent]
+    toks = np.empty(len(vals), dtype=object)
+    code_m = kinds_e == 0
+    toks[code_m] = symarr[vals[code_m]]
+    toks[~code_m] = _SINGLE_ARR[vals[~code_m]]
+    return toks.tolist()
 
 
 def train(sample: bytes, rounds: int = 4, max_sample: int = 1 << 15) -> list[bytes]:
@@ -94,7 +135,8 @@ def train(sample: bytes, rounds: int = 4, max_sample: int = 1 << 15) -> list[byt
         if symbols:
             tokens = _tokenize(sample, symbols)
         else:
-            tokens = [sample[i : i + 1] for i in range(len(sample))]
+            # shared 1-byte singletons via one gather — no per-byte slice
+            tokens = _SINGLE_ARR[np.frombuffer(sample, dtype=np.uint8)].tolist()
         tok_arr = np.empty(len(tokens), dtype=object)
         tok_arr[:] = tokens
         codes, uniq = pd.factorize(tok_arr, use_na_sentinel=False)

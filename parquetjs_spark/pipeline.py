@@ -239,6 +239,11 @@ def flatten_struct_columns(df: DataFrame, cols: list[str]):
         or _is_arrstruct(df.schema[c].dataType)
         for c in cols
     ):
+        if list(cols) != df.columns:
+            # explicit projection (guide §4.1): mapInArrow is opaque to
+            # Catalyst, so without this the encode stage ships EVERY
+            # column of df across the Python boundary to encode a subset
+            df = df.select(*[F.col(f"`{c}`") for c in cols])
         return (
             df,
             list(cols),
@@ -1437,6 +1442,8 @@ def _match_mask(arrs: dict, specs: list, n: int) -> np.ndarray:
       * temporal literals were already coerced driver-side
         (_predicate_keepset / _coerce_temporal_value), so values here
         are typed python objects, never raw ISO strings."""
+    import pyarrow.compute as pc
+
     match = np.ones(n, dtype=bool)
     for c, kind, value, styp in specs:
         arr = arrs[c][0]
@@ -1445,16 +1452,38 @@ def _match_mask(arrs: dict, specs: list, n: int) -> np.ndarray:
         if kind == "isnull":
             m = ~valid
         else:
-            vv = arr.to_pandas()[valid]
+            # typed comparison on the arrow array itself (ADVICE r6
+            # high): the previous arr.to_pandas() converted a NULLABLE
+            # int64 column to float64, so values > 2^53 compared
+            # inexactly and delete_where/update_where mutated
+            # NON-matching rows.  pa.scalar(value, arr.type) keeps the
+            # comparison in the column's exact type, matching Spark's
+            # residual semantics bit for bit.
+            nn = arr.drop_null() if arr.null_count else arr
+            try:
+                scalar = pa.scalar(value, type=nn.type)
+            except (pa.ArrowInvalid, pa.ArrowTypeError):
+                scalar = pa.scalar(value)
+                nn = nn.cast(scalar.type)
             if kind == "ge":
-                mm = vv >= value
+                cmp = pc.greater_equal(nn, scalar)
             elif kind == "le":
-                mm = vv <= value
+                cmp = pc.less_equal(nn, scalar)
             else:
-                mm = vv == value
-            mm = mm.fillna(False).to_numpy(dtype=bool)
+                cmp = pc.equal(nn, scalar)
+            mm = cmp.to_numpy(zero_copy_only=False)
+            # arrow comparisons yield null for NaN operands only when the
+            # values themselves are null — NaN compares are well-defined
+            # (false); fill any residual nulls as non-matching
+            if cmp.null_count:
+                mm = np.where(pc.is_valid(cmp).to_numpy(zero_copy_only=False), mm, False)
+            mm = mm.astype(bool)
             if isinstance(styp, (T.FloatType, T.DoubleType)):
-                nans = vv.isna().to_numpy()  # genuine NaN (valid rows)
+                # Spark/DuckDB order NaN LARGEST; IEEE comparisons above
+                # made every NaN compare false — patch them to engine
+                # semantics (same special-casing as before, now applied
+                # to exact float NaN only)
+                nans = pc.is_nan(nn).to_numpy(zero_copy_only=False)
                 vnan = isinstance(value, float) and value != value
                 if kind == "ge":
                     mm[nans] = True  # NaN >= anything (NaN largest)
@@ -1532,42 +1561,63 @@ def delete_where(
     untouched, affected = _split_by_keepset(blob_df, keep, max_broadcast_groups)
     out_schema = blob_df.schema
 
-    def rewrite_group(key, pdf):
-        arrs: dict[str, tuple] = {}
-        for _, r in pdf.iterrows():
-            arr, dtype = arrow_chunk.decode_arrow_column(r["data"])
-            arrs[r["column"]] = (arr, dtype)
-        n = len(next(iter(arrs.values()))[0])
-        match = _match_mask(arrs, specs, n)
-        if not match.any():
-            return pdf  # zone map over-approximated: nothing to delete
-        keep_mask = ~match
-        if not keep_mask.any():
-            return pdf.iloc[0:0]  # whole group deleted, all columns
-        keep_pa = pa.array(keep_mask)
-        rows = []
-        for _, r in pdf.iterrows():
-            t0 = time.perf_counter()
-            arr, dtype = arrs[r["column"]]
-            kept = arr.filter(keep_pa)
-            blob, stats = arrow_chunk.encode_arrow_column(
-                kept, dtype, codec=codec, compression=compression,
-                fsst_state={},
-            )
-            smin, smax = arrow_chunk._column_stats(kept, dtype)
-            row = r.copy()
-            for f_ in _STATS_ROW_FIELDS:
-                row[f_] = stats.get(f_)
-            row["stat_min"], row["stat_max"] = smin, smax
-            row["wall_ms"] = (time.perf_counter() - t0) * 1000.0
-            row["data"] = blob
-            rows.append(row)
-        return pd.DataFrame(rows)
+    import functools
 
+    rewrite_group = functools.partial(
+        _delete_rewrite_group, specs=specs, codec=codec,
+        compression=compression,
+    )
     rewritten = affected.groupBy("part_id", "chunk_seq").applyInPandas(
         rewrite_group, schema=out_schema
     )
     return untouched.unionByName(rewritten)
+
+
+def _delete_rewrite_group(key, pdf, *, specs, codec, compression):
+    """One (part_id, chunk_seq) group of delete_where.  Module-level so
+    the decode-count contract is directly testable (see
+    tests/test_delete.py TestTwoPhaseDecode)."""
+    pred_cols = {c for c, _, _, _ in specs}
+    # two-phase decode (VERDICT r6 #4): decode the PREDICATE columns
+    # first and consult the exact mask before touching the rest — a
+    # zone-map/bloom false positive then costs len(pred_cols) decodes,
+    # not a full-group decode, mirroring update_where's group_cols
+    # restriction
+    arrs: dict[str, tuple] = {}
+    for _, r in pdf.iterrows():
+        if r["column"] in pred_cols:
+            arr, dtype = arrow_chunk.decode_arrow_column(r["data"])
+            arrs[r["column"]] = (arr, dtype)
+    n = len(next(iter(arrs.values()))[0])
+    match = _match_mask(arrs, specs, n)
+    if not match.any():
+        return pdf  # zone map over-approximated: nothing to delete
+    keep_mask = ~match
+    if not keep_mask.any():
+        return pdf.iloc[0:0]  # whole group deleted, all columns
+    for _, r in pdf.iterrows():
+        if r["column"] not in arrs:
+            arr, dtype = arrow_chunk.decode_arrow_column(r["data"])
+            arrs[r["column"]] = (arr, dtype)
+    keep_pa = pa.array(keep_mask)
+    rows = []
+    for _, r in pdf.iterrows():
+        t0 = time.perf_counter()
+        arr, dtype = arrs[r["column"]]
+        kept = arr.filter(keep_pa)
+        blob, stats = arrow_chunk.encode_arrow_column(
+            kept, dtype, codec=codec, compression=compression,
+            fsst_state={},
+        )
+        smin, smax = arrow_chunk._column_stats(kept, dtype)
+        row = r.copy()
+        for f_ in _STATS_ROW_FIELDS:
+            row[f_] = stats.get(f_)
+        row["stat_min"], row["stat_max"] = smin, smax
+        row["wall_ms"] = (time.perf_counter() - t0) * 1000.0
+        row["data"] = blob
+        rows.append(row)
+    return pd.DataFrame(rows)
 
 
 def update_where(
@@ -1948,17 +1998,25 @@ def union_encoded(a: DataFrame, b: DataFrame) -> DataFrame:
     Column sets and dtypes must match exactly — a blob table with
     half-present columns would decode ragged rows.  Metadata-only:
     no blob bytes move or re-encode."""
+    # (column, col_idx, dtype): col_idx alignment is part of the check
+    # (ADVICE r6 low) — two tables encoded with different column orders
+    # would otherwise union into conflicting col_idx per column, making
+    # _meta_rows_for's distinct return duplicate meta rows and the
+    # decode-tree ordering ambiguous for nested schemas
+    key = ["column", "col_idx", "dtype"]
+    if "col_idx" not in a.columns or "col_idx" not in b.columns:
+        key = ["column", "dtype"]  # pre-col_idx blob tables
     meta_a = {
-        (r["column"], r["dtype"])
-        for r in a.select("column", "dtype").distinct().collect()
+        tuple(r[k] for k in key)
+        for r in a.select(*key).distinct().collect()
     }
     meta_b = {
-        (r["column"], r["dtype"])
-        for r in b.select("column", "dtype").distinct().collect()
+        tuple(r[k] for k in key)
+        for r in b.select(*key).distinct().collect()
     }
     if meta_a != meta_b:
         raise ValueError(
-            f"union_encoded: column/dtype sets differ: "
+            f"union_encoded: column/col_idx/dtype sets differ: "
             f"{sorted(meta_a ^ meta_b)}"
         )
     off = (a.agg(F.max("part_id")).collect()[0][0] or 0) + 1

@@ -281,3 +281,104 @@ class TestDmlSemanticEdges:
                 assert r["ts"].year == 2030
             else:
                 assert r["ts"].year == 2021
+
+
+class TestExactInt64Residual:
+    """ADVICE r6 high: _match_mask must compare int64 exactly — the old
+    pandas conversion went through float64 and mutated rows whose key
+    differed from the predicate literal only above 2^53."""
+
+    def test_delete_eq_above_2p53(self, spark):
+        big = 2**53
+        df = spark.createDataFrame(
+            [(big + 1,), (big,), (None,)], "id long"
+        ).coalesce(1)
+        blobs = pipeline.encode_columns(df, chunk_rows=16)
+        out = pipeline.delete_where(blobs, eqs={"id": big})
+        kept = sorted(
+            r["id"] for r in pipeline.decode_table(out, ["id"]).collect()
+            if r["id"] is not None
+        )
+        # 2**53 + 1 must SURVIVE (float64 would conflate it with 2**53)
+        assert kept == [big + 1]
+
+    def test_update_range_above_2p53(self, spark):
+        big = 2**53
+        df = spark.createDataFrame(
+            [(big + 1,), (big,), (big - 1,)], "id long"
+        ).coalesce(1)
+        blobs = pipeline.encode_columns(df, chunk_rows=16)
+        out = pipeline.update_where(
+            blobs, {"id": 0}, ranges={"id": (big + 1, None)}
+        )
+        vals = sorted(
+            r["id"] for r in pipeline.decode_table(out, ["id"]).collect()
+        )
+        assert vals == [0, big - 1, big]
+
+
+class TestTwoPhaseDecode:
+    """VERDICT r6 #4: on a zone-map false positive, delete_where decodes
+    only the predicate columns of the over-approximated group (the
+    rewrite body is module-level so the decode count is observable)."""
+
+    def _group_pdf(self, spark):
+        df = (
+            spark.range(1024)
+            .select(
+                F.col("id").alias("rid"),
+                (F.col("id") % 5).alias("k"),
+                F.concat(F.lit("v"), F.col("id")).alias("s"),
+            )
+            .coalesce(1)
+        )
+        return pipeline.encode_columns(df, chunk_rows=1024).toPandas()
+
+    def test_false_positive_group_decodes_pred_cols_only(self, spark, monkeypatch):
+        from pyspark.sql import types as T
+
+        pdf = self._group_pdf(spark)
+        assert sorted(pdf["column"]) == ["k", "rid", "s"]
+        counted = {"n": 0}
+        real = pipeline.arrow_chunk.decode_arrow_column
+
+        def spy(blob):
+            counted["n"] += 1
+            return real(blob)
+
+        monkeypatch.setattr(
+            pipeline.arrow_chunk, "decode_arrow_column", spy
+        )
+        # conjunction whose per-column keep-sets both hold the group but
+        # whose exact mask matches no row: rid = 5 has k = 0, not 2
+        specs = [
+            ("k", "eq", 2, T.LongType()),
+            ("rid", "eq", 5, T.LongType()),
+        ]
+        out = pipeline._delete_rewrite_group(
+            None, pdf, specs=specs, codec="auto", compression="auto"
+        )
+        # untouched pass-through, after decoding ONLY the 2 pred chunks
+        assert out is pdf
+        assert counted["n"] == 2
+
+    def test_real_match_still_decodes_all(self, spark, monkeypatch):
+        from pyspark.sql import types as T
+
+        pdf = self._group_pdf(spark)
+        counted = {"n": 0}
+        real = pipeline.arrow_chunk.decode_arrow_column
+
+        def spy(blob):
+            counted["n"] += 1
+            return real(blob)
+
+        monkeypatch.setattr(
+            pipeline.arrow_chunk, "decode_arrow_column", spy
+        )
+        specs = [("rid", "eq", 5, T.LongType())]
+        out = pipeline._delete_rewrite_group(
+            None, pdf, specs=specs, codec="auto", compression="auto"
+        )
+        assert counted["n"] == 3  # pred chunk + the 2 remaining columns
+        assert sorted(out["n"]) == [1023, 1023, 1023]

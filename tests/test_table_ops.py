@@ -50,8 +50,24 @@ class TestUnionEncoded:
         other = pipeline.encode_columns(
             spark.range(10).select(F.col("id").alias("rid")), chunk_rows=256
         )
-        with pytest.raises(ValueError, match="column/dtype sets differ"):
+        with pytest.raises(ValueError, match="sets differ"):
             pipeline.union_encoded(a, other)
+
+    def test_union_rejects_col_idx_misalignment(self, spark, two_batches):
+        # ADVICE r6 low: same columns encoded in a DIFFERENT order must
+        # be rejected — a silent union would give conflicting col_idx
+        # per column and ambiguous decode-tree ordering
+        a, _ = two_batches
+        swapped = pipeline.encode_columns(
+            spark.range(10).select(
+                (F.col("id") % 13).alias("k"),
+                F.col("id").alias("rid"),
+                F.concat(F.lit("s"), F.col("id")).alias("s"),
+            ),
+            chunk_rows=256,
+        )
+        with pytest.raises(ValueError, match="col_idx"):
+            pipeline.union_encoded(a, swapped)
 
 
 class TestSchemaEvolution:
