@@ -282,7 +282,9 @@ def _decode_incr_block(buf: memoryview, n: int) -> StrBlock:
 # --------------------------------------------------------------------------
 
 
-def _select_string_codec(block: StrBlock, fsst_state: dict | None) -> tuple[str, dict]:
+def _select_string_codec(
+    block: StrBlock, fsst_state: dict | None, profile: str = "default"
+) -> tuple[str, dict]:
     n = block.n
     info: dict = {}
     if n == 0:
@@ -392,7 +394,9 @@ def _select_string_codec(block: StrBlock, fsst_state: dict | None) -> tuple[str,
             if cands[INCR] > 0.92 * cands[PLAIN]:
                 cands.pop(INCR)
     info.update(cardinality=card, runs=runs, sizes=cands)
-    choice = min(cands, key=cands.get)
+    from .chunk import _pick
+
+    choice = _pick(cands, total, profile)
     if fsst_state is not None:
         fsst_state["sel"] = choice
         fsst_state["sel_uses"] = 0
@@ -613,7 +617,8 @@ def _canonical_sha256_nested(
 
 
 def _encode_nested_list_column(
-    arr: pa.Array, dtype: str, codec: str, fsst_state: dict | None
+    arr: pa.Array, dtype: str, codec: str, fsst_state: dict | None,
+    profile: str = "default",
 ):
     """Multi-level repetition (rLevelMax > 1 — the reference's
     nested-repeated shred recursion, /root/reference/lib/shred.js:75-135):
@@ -628,7 +633,7 @@ def _encode_nested_list_column(
     elem_dtype = dtype[len("list_") :]
     inner_blob, inner_stats = encode_arrow_column(
         flat, elem_dtype, codec=codec, compression="UNCOMPRESSED",
-        fsst_state=fsst_state,
+        fsst_state=fsst_state, profile=profile,
     )
     lens_enc = for_bp.encode(lens)
     values_raw = (
@@ -670,14 +675,15 @@ def _decode_nested_list_column(
 
 
 def _encode_list_column(
-    arr: pa.Array, dtype: str, codec: str, fsst_state: dict | None
+    arr: pa.Array, dtype: str, codec: str, fsst_state: dict | None,
+    profile: str = "default",
 ):
     """Payload: u32 lens_len ++ FOR-encoded per-row counts ++
     u32 evalid_len ++ element-validity RLE (w=1; len 0 = no element
     nulls) ++ flattened NON-NULL elements under a scalar codec
     (recorded in the chunk codec byte)."""
     if dtype[len("list_") :].startswith("list_"):
-        return _encode_nested_list_column(arr, dtype, codec, fsst_state)
+        return _encode_nested_list_column(arr, dtype, codec, fsst_state, profile)
     lens, elem_values, elem_valid, valid, elem_dtype = _list_parts(arr, dtype)
     sel_info: dict = {}
     if elem_dtype == "bool":
@@ -690,7 +696,7 @@ def _encode_list_column(
         content = (len(elem_values) + 7) // 8
     elif elem_dtype in ("string", "binary"):
         if codec == "auto":
-            codec, sel_info = _select_string_codec(elem_values, fsst_state)
+            codec, sel_info = _select_string_codec(elem_values, fsst_state, profile)
         if codec == PLAIN:
             elem_raw = _str_stream(elem_values)
         elif codec == FLBA:
@@ -708,7 +714,9 @@ def _encode_list_column(
         from . import chunk as chunklib
 
         if codec == "auto":
-            codec, sel_info = chunklib.select_codec(elem_values, elem_dtype, fsst_state)
+            codec, sel_info = chunklib.select_codec(
+                elem_values, elem_dtype, fsst_state, profile
+            )
         elem_raw = chunklib._encode_values(elem_values, elem_dtype, codec, None, fsst_state)
         content = int(np.asarray(elem_values).nbytes)
     lens_enc = for_bp.encode(lens)
@@ -816,7 +824,9 @@ def _decimal_to_arrow(vals: np.ndarray, valid: np.ndarray, p: int, sc: int) -> p
     return dense.take(pa.array(idx, mask=~valid))
 
 
-def _encode_decimal_column(arr, dtype, codec, compression, fsst_state):
+def _encode_decimal_column(
+    arr, dtype, codec, compression, fsst_state, profile="default"
+):
     from . import chunk as chunklib
 
     p, sc = (int(x) for x in dtype[len("decimal(") : -1].split(","))
@@ -825,7 +835,7 @@ def _encode_decimal_column(arr, dtype, codec, compression, fsst_state):
     n_nulls = int(n - valid.sum())
     sel_info: dict = {}
     if codec == "auto":
-        codec, sel_info = chunklib.select_codec(vals, "int64", fsst_state)
+        codec, sel_info = chunklib.select_codec(vals, "int64", fsst_state, profile)
     payload = chunklib._encode_values(vals, "int64", codec, None, fsst_state)
     values_raw = bytes([p, sc]) + payload
     return _assemble_blob(
@@ -884,12 +894,15 @@ def encode_arrow_column(
     codec: str = "auto",
     compression: str = "auto",
     fsst_state: dict | None = None,
+    profile: str = "default",
 ) -> tuple[bytes, dict]:
     if dtype.startswith("decimal("):
-        return _encode_decimal_column(arr, dtype, codec, compression, fsst_state)
+        return _encode_decimal_column(
+            arr, dtype, codec, compression, fsst_state, profile
+        )
     if dtype.startswith("list_"):
         values_raw, valid, codec, content_bytes, sha, sel_info = _encode_list_column(
-            arr, dtype, codec, fsst_state
+            arr, dtype, codec, fsst_state, profile
         )
         n = len(valid)
         n_nulls = int(n - valid.sum())
@@ -916,7 +929,7 @@ def encode_arrow_column(
 
     if dtype in ("string", "binary"):
         if codec == "auto":
-            codec, sel_info = _select_string_codec(values, fsst_state)
+            codec, sel_info = _select_string_codec(values, fsst_state, profile)
         if codec == PLAIN:
             values_raw = _str_stream(values)
         elif codec == FLBA:
@@ -934,7 +947,9 @@ def encode_arrow_column(
         from . import chunk as chunklib
 
         if codec == "auto":
-            codec, sel_info = chunklib.select_codec(values, dtype, fsst_state)
+            codec, sel_info = chunklib.select_codec(
+                values, dtype, fsst_state, profile
+            )
         values_raw = chunklib._encode_values(values, dtype, codec, None, fsst_state)
         content_bytes = (
             (len(values) + 7) // 8 if dtype == "bool" else int(np.asarray(values).nbytes)

@@ -154,6 +154,51 @@ def codec_supports(codec: str, dtype: str) -> bool:
     return codec in (PLAIN, FLBA, DICT_RLE, FSST, INCR)
 
 
+# --------------------------------------------------------------------------
+# decode-cost model for the read-optimized selector profile (VERDICT r6
+# #3).  The default profile optimizes SIZE only; for a write-once-read-
+# many corpus that can pick a codec whose decode is 50x slower than the
+# bytes it saves are worth.  ``profile="read_optimized"`` scores each
+# measured candidate as estimated READ cost per content byte:
+#
+#     cost = size / READ_IO_MBPS  +  content / DECODE_MBPS[codec]
+#
+# DECODE_MBPS are single-thread decode throughputs measured on this
+# host's representative 4096-value chunks (tests/test_codec_dict_for_fsst
+# pins the table and the selection consequences); READ_IO_MBPS models a
+# cold per-core scan bandwidth — conservative for object storage.  Under
+# this profile INCR (55 MB/s decode) and FSST (~120 MB/s) must buy
+# enormous size wins to be picked, while PLAIN/FLBA (GB/s) and the
+# numeric codecs are effectively free.
+# --------------------------------------------------------------------------
+
+READ_IO_MBPS = 200.0
+DECODE_MBPS = {
+    PLAIN: 3000.0,
+    FLBA: 3000.0,
+    DICT_RLE: 800.0,
+    FSST: 120.0,
+    INCR: 55.0,
+    FOR_BITPACK: 2000.0,
+    RLE: 1500.0,
+    BSS: 3000.0,
+    INT96: 2000.0,
+}
+
+
+def _pick(cands: dict[str, int], content_bytes: int, profile: str) -> str:
+    """Choose among measured candidate sizes; read_optimized folds the
+    decode-cost model in, the default stays pure-size (selection
+    behavior unchanged)."""
+    if profile != "read_optimized" or content_bytes <= 0:
+        return min(cands, key=cands.get)
+    return min(
+        cands,
+        key=lambda c: cands[c] / READ_IO_MBPS
+        + content_bytes / DECODE_MBPS[c],
+    )
+
+
 SAMPLE_VALUES = 4096  # selector cardinality/run sample
 # selector FSST-vs-zlib measurement sample: must be >> zlib's 32 KB
 # window or PLAIN+zlib looks artificially strong (measured on the
@@ -455,12 +500,16 @@ def _decode_values(buf: memoryview, n: int, dtype: str, codec: str):
 # --------------------------------------------------------------------------
 
 
-def select_codec(vals, dtype: str, fsst_state: dict | None = None) -> tuple[str, dict]:
+def select_codec(
+    vals, dtype: str, fsst_state: dict | None = None, profile: str = "default"
+) -> tuple[str, dict]:
     """Return (codec_name, selector_stats).
 
     ``fsst_state`` is an optional cross-chunk cache (one per task+column):
     a trained symbol table is reused for sizing and encoding instead of
-    retraining per chunk — training cost amortizes over the partition."""
+    retraining per chunk — training cost amortizes over the partition.
+    ``profile="read_optimized"`` folds the measured decode-cost model
+    into the choice (see DECODE_MBPS above); the default stays size-only."""
     n = len(vals)
     info: dict = {"n_sampled": min(n, SAMPLE_VALUES)}
     if n == 0:
@@ -529,7 +578,7 @@ def select_codec(vals, dtype: str, fsst_state: dict | None = None) -> tuple[str,
             z_len = comp.size_estimate(enc)
             cands[c] = int(min(len(enc), z_len + 16) * scale)
         info.update(cardinality=ds["cardinality"], runs=ds["runs"], sizes=cands)
-        choice = min(cands, key=cands.get)
+        choice = _pick(cands, len(arr) * width, profile)
         if fsst_state is not None:
             fsst_state["sel"] = choice
             fsst_state["sel_uses"] = 0
@@ -622,7 +671,7 @@ def select_codec(vals, dtype: str, fsst_state: dict | None = None) -> tuple[str,
             if cands[INCR] > 0.92 * cands[PLAIN]:
                 cands.pop(INCR)
     info.update(cardinality=ds["cardinality"], runs=ds["runs"], sizes=cands)
-    choice = min(cands, key=cands.get)
+    choice = _pick(cands, total, profile)
     if fsst_state is not None:
         fsst_state["sel"] = choice
         fsst_state["sel_uses"] = 0

@@ -146,7 +146,7 @@ def cmd_encode(args) -> int:
         df = df.repartition(args.partitions)
 
     enc_kw = {"chunk_rows": args.chunk_rows, "codec": args.codec,
-              "compression": args.compression}
+              "compression": args.compression, "profile": args.profile}
     if args.resume_from:
         # resume: drop chunks already committed in a previous run's manifest
         done = pipeline.read_manifest(spark, args.resume_from)
@@ -687,6 +687,14 @@ def main(argv: list[str] | None = None) -> int:
         default="auto",
         help="force block compression (UNCOMPRESSED/ZLIB/GZIP/SNAPPY/"
         "ZSTD/LZ4/BROTLI); default: measured per chunk",
+    )
+    pe.add_argument(
+        "--profile",
+        default="default",
+        choices=["default", "read_optimized"],
+        help="selector profile: 'read_optimized' weighs each codec's "
+        "measured decode cost alongside its size, for "
+        "write-once-read-many tables (default: size only)",
     )
     pe.add_argument("--partitions", type=int, default=None)
     pe.add_argument("--salt-key", default=None, help="skewed key column to salt on")

@@ -188,20 +188,22 @@ def _decode_matrix(
     np.cumsum(slens[:-1], out=soffs[1:])
     # flat (row * max_len + col) scatter positions of the explicit
     # suffix bytes: 1-D indexing throughout (2-D advanced indexing costs
-    # ~2x in numpy) and the M/writer scatters share one index array
-    # all flat positions fit int32: n * max_len <= _MATRIX_CELLS << 2^31
+    # ~2x in numpy); all flat positions fit int32 because
+    # n * max_len <= _MATRIX_CELLS << 2^31
     w_flat = (
         np.arange(total_s, dtype=np.int32)
         - np.repeat(soffs.astype(np.int32), slens)
         + np.repeat((plens + np.arange(n, dtype=np.int64) * max_len).astype(np.int32), slens)
     )
-    M = np.zeros(n * max_len, dtype=np.uint8)
     writer = np.zeros((n, max_len), dtype=np.int32)
-    M[w_flat] = suffix
     writer.reshape(-1)[w_flat] = np.repeat(rows32, slens)
     np.maximum.accumulate(writer, axis=0, out=writer)
-    # compose the two gathers per output byte: writer row of (i, j),
-    # then M at (writer_row * max_len + j) — no filled matrix
+    # gather each output byte STRAIGHT from the suffix stream: the
+    # writer row w of cell (i, j) wrote byte j explicitly, so its
+    # source is suffix[soffs[w] + (j - plens[w])] — one precomputed
+    # adj = soffs - plens turns that into adj[w] + j, saving the whole
+    # dense M materialization (a scatter + a gather over n*max_len)
+    # the previous version paid
     total = int(offsets[-1])
     cols = np.arange(total, dtype=np.int32) - np.repeat(
         offsets[:-1].astype(np.int32), lens
@@ -209,10 +211,9 @@ def _decode_matrix(
     out_flat = cols + np.repeat(
         (np.arange(n, dtype=np.int64) * max_len).astype(np.int32), lens
     )
-    w = writer.reshape(-1)[out_flat]
-    w *= np.int32(max_len)
-    w += cols
-    return M[w].tobytes()
+    adj = (soffs - plens).astype(np.int64)
+    src = adj[writer.reshape(-1)[out_flat]] + cols
+    return suffix[src].tobytes()
 
 
 def decode_offsets(buf: memoryview | bytes, n: int) -> tuple[np.ndarray, bytes]:

@@ -624,12 +624,19 @@ def encode_columns(
     codec: str = "auto",
     compression: str = "auto",
     fsst_tables: dict[str, list[bytes]] | None = None,
+    profile: str = "default",
 ) -> DataFrame:
     """Encode the given columns into the blob/manifest DataFrame.
 
     One output row per (partition, chunk, column) — the analogue of a
     Parquet column chunk + its ColumnMetaData
     (/root/reference/lib/writer.js:424-477), as a queryable table.
+
+    ``profile="read_optimized"`` makes the auto-selector weigh each
+    candidate's measured DECODE cost alongside its size
+    (chunk.DECODE_MBPS): write-once-read-many tables then avoid codecs
+    whose decode is far slower than the bytes they save (VERDICT r6 #3).
+    The default profile selects by size alone, as before.
     """
     cols = columns or df.columns
     df, cols, dtypes, pretty = flatten_struct_columns(df, cols)
@@ -668,6 +675,7 @@ def encode_columns(
                     codec=codec,
                     compression=compression,
                     fsst_state=fsst_states[c],
+                    profile=profile,
                 )
                 smin, smax = arrow_chunk._column_stats(rb.column(c), dtypes[c])
                 stats["stat_min"], stats["stat_max"] = smin, smax

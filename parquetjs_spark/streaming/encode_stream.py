@@ -38,10 +38,19 @@ def encode_stream(
             "chunk_seq",
             (F.lit(int(batch_id)) * F.lit(1 << 32) + F.col("chunk_seq")).cast("long"),
         )
-        blobs.write.mode("append").parquet(f"{output_path}/blobs")
-        blobs.select(*pipeline.MANIFEST_COLUMNS).write.mode("append").parquet(
-            f"{output_path}/manifest"
-        )
+        # one encode per batch: without the persist, the blobs write AND
+        # the manifest projection each re-ran the whole encode stage
+        # (2x the batch's encode CPU + source read, every micro-batch).
+        # Scoped to this batch and released before return — not a
+        # library-owned cache.
+        blobs = blobs.persist()
+        try:
+            blobs.write.mode("append").parquet(f"{output_path}/blobs")
+            blobs.select(*pipeline.MANIFEST_COLUMNS).write.mode("append").parquet(
+                f"{output_path}/manifest"
+            )
+        finally:
+            blobs.unpersist()
         # every batch mutates the manifest; a driver-side metadata
         # cache entry from a mid-stream read would go stale otherwise
         pipeline._META_CACHE.pop(output_path, None)
