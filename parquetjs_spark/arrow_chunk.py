@@ -27,6 +27,8 @@ import pyarrow.compute as pc
 from .chunk import (
     DTYPE_NAMES,
     MAGIC,
+    PROBE_FSST_BYTES,
+    PROBE_TRAIN_BYTES,
     SAMPLE_BYTES,
     SAMPLE_VALUES,
     SEL_CACHE_USES,
@@ -351,14 +353,20 @@ def _select_string_codec(
         # bounded bytes copy of the sample (train slices per byte)
         concat = bytes(sample.concat_bytes()[:SAMPLE_BYTES])
         if len(concat) >= 256:
-            table = None if fsst_state is None else fsst_state.get("table")
+            # probe-quality table (PROBE_TRAIN_BYTES) for the measured
+            # comparison; the real FSST encoder trains full-quality on
+            # demand if FSST wins — see chunk.PROBE_TRAIN_BYTES rationale
+            table = None
+            if fsst_state is not None:
+                table = fsst_state.get("table") or fsst_state.get("probe_table")
             if table is None:
-                table = fsst.train(concat)
+                table = fsst.train(concat[:PROBE_TRAIN_BYTES])
                 if fsst_state is not None:
-                    fsst_state["table"] = table
+                    fsst_state["probe_table"] = table
             plain_z = comp.size_estimate(concat) / len(concat)
-            payload = fsst.compress(concat, table)
-            fsst_z = min(len(payload), comp.size_estimate(payload)) / len(concat)
+            probe_slice = concat[:PROBE_FSST_BYTES]
+            payload = fsst.compress(probe_slice, table)
+            fsst_z = min(len(payload), comp.size_estimate(payload)) / len(probe_slice)
             cands[PLAIN] = int(plain_z * total) + n
             cands[FSST] = int(fsst_z * total) + 2 * len(table) + n + 16
             if cands[FSST] > 0.9 * cands[PLAIN]:
@@ -1004,7 +1012,8 @@ def _assemble_blob(
 
 
 
-def decode_arrow_column(blob: bytes | memoryview) -> tuple[pa.Array, str]:
+def _parse_blob(blob: bytes | memoryview):
+    """Shared header parse: -> (dtype, codec, valid, values_raw, nn)."""
     mv = memoryview(blob)
     if bytes(mv[:4]) != MAGIC:
         raise ValueError("bad chunk magic")
@@ -1025,7 +1034,25 @@ def decode_arrow_column(blob: bytes | memoryview) -> tuple[pa.Array, str]:
     # zero-copy: the compressed section decompresses straight from the
     # blob view (UNCOMPRESSED chunks stay a view end-to-end)
     values_raw = comp.decompress(compression, mv[pos : pos + values_len])
-    nn = n - n_nulls
+    return dtype, codec, valid, values_raw, n - n_nulls
+
+
+def _decode_string_block(values_raw, nn: int, codec: str, dtype: str) -> StrBlock:
+    if codec == PLAIN:
+        return _str_stream_decode(memoryview(values_raw), nn)
+    if codec == FLBA:
+        return _decode_flba_block(memoryview(values_raw), nn)
+    if codec == DICT_RLE:
+        return _decode_dict_block(memoryview(values_raw), nn)
+    if codec == FSST:
+        return _decode_fsst_block(memoryview(values_raw), nn)
+    if codec == INCR:
+        return _decode_incr_block(memoryview(values_raw), nn)
+    raise ValueError(f"codec {codec} unsupported for {dtype}")
+
+
+def decode_arrow_column(blob: bytes | memoryview) -> tuple[pa.Array, str]:
+    dtype, codec, valid, values_raw, nn = _parse_blob(blob)
     if dtype == "decimal":
         from . import chunk as chunklib
 
@@ -1040,18 +1067,7 @@ def decode_arrow_column(blob: bytes | memoryview) -> tuple[pa.Array, str]:
     if dtype.startswith("list_"):
         return _decode_list_column(values_raw, nn, dtype, codec, valid), dtype
     if dtype in ("string", "binary"):
-        if codec == PLAIN:
-            block = _str_stream_decode(memoryview(values_raw), nn)
-        elif codec == FLBA:
-            block = _decode_flba_block(memoryview(values_raw), nn)
-        elif codec == DICT_RLE:
-            block = _decode_dict_block(memoryview(values_raw), nn)
-        elif codec == FSST:
-            block = _decode_fsst_block(memoryview(values_raw), nn)
-        elif codec == INCR:
-            block = _decode_incr_block(memoryview(values_raw), nn)
-        else:
-            raise ValueError(f"codec {codec} unsupported for {dtype}")
+        block = _decode_string_block(values_raw, nn, codec, dtype)
         return _values_to_arrow(block, valid, dtype), dtype
     from . import chunk as chunklib
 
@@ -1082,9 +1098,25 @@ def verify_arrow(blob: bytes, expected_sha: str) -> bool:
     """True iff the blob decodes AND its canonical sha matches.  A blob
     corrupted badly enough to break decode framing must report
     ok=False like any other mismatch — verification is a report, not a
-    crash (one torn chunk must not abort a 100 TB verify job)."""
+    crash (one torn chunk must not abort a 100 TB verify job).
+
+    Scalar dtypes hash the decoded (values, validity) directly — the
+    same codec decode, minus a values->arrow->values identity round
+    trip that cost ~30% of verify CPU; nested/decimal shapes keep the
+    full arrow reconstruction path."""
     try:
-        arr, dtype = decode_arrow_column(blob)
-        return arrow_canonical_sha(arr, dtype) == expected_sha
+        dtype, codec, valid, values_raw, nn = _parse_blob(blob)
+        if dtype == "decimal" or dtype.startswith("list_"):
+            arr, full_dtype = decode_arrow_column(blob)
+            return arrow_canonical_sha(arr, full_dtype) == expected_sha
+        if dtype in ("string", "binary"):
+            values = _decode_string_block(values_raw, nn, codec, dtype)
+        else:
+            from . import chunk as chunklib
+
+            values = chunklib._decode_values(
+                memoryview(values_raw), nn, dtype, codec
+            )
+        return _canonical_sha256_block(values, valid, dtype) == expected_sha
     except Exception:
         return False

@@ -206,6 +206,16 @@ SAMPLE_VALUES = 4096  # selector cardinality/run sample
 # vs 0.867 ground truth at 8 MB; 512 KB reads 0.895). The cost is
 # amortized by the per-column selector decision cache (SEL_CACHE_USES).
 SAMPLE_BYTES = 1 << 19
+# FSST selector-probe bounds: the PROBE table trains on a small slice
+# (training cost is ~linear in sample bytes and was the dominant
+# per-task cost of string encode once pretraining left the auto path;
+# a probe-quality table reads ~3-10% pessimistic for FSST, a bias
+# AGAINST the slow-decode codec) and the probe compresses a mid-size
+# slice (the symbol-table ratio has no compression window to fill, so
+# unlike the PLAIN+zstd side it converges at ~128 KB).  If FSST WINS,
+# the actual encoder trains a full-quality table from SAMPLE_BYTES.
+PROBE_TRAIN_BYTES = 8192
+PROBE_FSST_BYTES = 1 << 17
 SEL_CACHE_USES = 16  # chunks per task re-using one selector decision
 
 
@@ -619,16 +629,19 @@ def select_codec(
     if total > 0 and cands[DICT_RLE] > 0.35 * cands[PLAIN]:
         concat = b"".join(sample_vals)[:SAMPLE_BYTES]
         if len(concat) >= 256:
-            table = None if fsst_state is None else fsst_state.get("table")
+            table = None
+            if fsst_state is not None:
+                table = fsst_state.get("table") or fsst_state.get("probe_table")
             if table is None:
-                table = fsst.train(concat)
+                table = fsst.train(concat[:PROBE_TRAIN_BYTES])
                 if fsst_state is not None:
-                    fsst_state["table"] = table
+                    fsst_state["probe_table"] = table
             plain_z = comp.size_estimate(concat) / len(concat)
-            fsst_payload = fsst.compress(concat, table)
+            probe_slice = concat[:PROBE_FSST_BYTES]
+            fsst_payload = fsst.compress(probe_slice, table)
             fsst_z = min(
                 len(fsst_payload), comp.size_estimate(fsst_payload)
-            ) / len(concat)
+            ) / len(probe_slice)
             cands[PLAIN] = int(plain_z * total) + n
             cands[FSST] = int(fsst_z * total) + 2 * len(table) + n + 16
             info["fsst_ratio"] = round(fsst_z, 4)
