@@ -67,6 +67,22 @@ def _segment_starts(lens: np.ndarray) -> np.ndarray:
     return starts
 
 
+def _list_i64_parts(col) -> tuple[np.ndarray, np.ndarray]:
+    """list<int64> arrow column -> (per-row lens int64, flat int64 values)
+    — zero-copy reads of the list buffers; the mapInPandas route
+    materialized one numpy object per row and re-concatenated."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if len(col) == 0:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+    lens = pc.list_value_length(col).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(col).to_numpy(zero_copy_only=False).astype(np.int64)
+    return lens, flat
+
+
 # --------------------------------------------------------------------------
 # exact dedup
 # --------------------------------------------------------------------------
@@ -111,25 +127,34 @@ def minhash_signatures(
         "doc_id", _shingle_hashes_col(shingle_k).alias("shash")
     )
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def fn(batches) -> "Iterator":
+        import pyarrow as pa
+
         salts = np.arange(num_hashes, dtype=np.uint64) * np.uint64(0x9E3779B9)
-        for pdf in batches:
-            arrs = pdf["shash"].to_numpy()
-            ndocs = len(arrs)
+        for rb in batches:
+            ndocs = rb.num_rows
+            lens, flat = _list_i64_parts(rb.column(1))
             if ndocs == 0:
-                yield pd.DataFrame({"doc_id": pdf["doc_id"], "sig": []})
+                yield pa.RecordBatch.from_arrays(
+                    [rb.column(0), pa.array([], type=pa.list_(pa.int64()))],
+                    names=["doc_id", "sig"],
+                )
                 continue
-            lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=ndocs)
-            all_u = np.concatenate(arrs).astype(np.int64).view(np.uint64)
+            all_u = flat.view(np.uint64)
             starts = _segment_starts(lens)  # every doc has >= 1 shingle
             sig = np.empty((ndocs, num_hashes), dtype=np.uint64)
             for j in range(num_hashes):  # fixed 64 C passes, O(total) memory
                 sig[:, j] = np.minimum.reduceat(_mix64(all_u + salts[j], 7), starts)
-            yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"], "sig": list(sig.view(np.int64))}
+            offs = np.arange(ndocs + 1, dtype=np.int32) * num_hashes
+            sig_arr = pa.ListArray.from_arrays(
+                pa.array(offs, type=pa.int32()),
+                pa.array(sig.view(np.int64).reshape(-1), type=pa.int64()),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [rb.column(0), sig_arr], names=["doc_id", "sig"]
             )
 
-    return hashed.mapInPandas(fn, schema=schema)
+    return hashed.mapInArrow(fn, schema=schema)
 
 
 def lsh_candidate_pairs(
@@ -250,19 +275,20 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
         ).alias("whash"),
     )
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            arrs = pdf["whash"].to_numpy()
-            ndocs = len(arrs)
+    def fn(batches) -> "Iterator":
+        import pyarrow as pa
+
+        for rb in batches:
+            ndocs = rb.num_rows
+            lens, flat = _list_i64_parts(rb.column(1))
             fp = np.zeros(ndocs, dtype=np.uint64)
             if ndocs:
-                lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=ndocs)
                 nz = np.flatnonzero(lens)  # empty docs keep fp 0
                 if nz.size:
                     lens_nz = lens[nz]
-                    all_u = np.concatenate(
-                        [arrs[i] for i in nz]
-                    ).astype(np.int64).view(np.uint64)
+                    # flat already excludes nothing: empty docs contribute
+                    # no elements, so the concatenation IS the flat child
+                    all_u = flat.view(np.uint64)
                     starts = _segment_starts(lens_nz)
                     fp_nz = np.zeros(nz.size, dtype=np.uint64)
                     for b in range(64):  # fixed 64 C passes
@@ -270,11 +296,12 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
                         votes = np.add.reduceat(bit, starts)
                         fp_nz |= (votes * 2 > lens_nz).astype(np.uint64) << np.uint64(b)
                     fp[nz] = fp_nz
-            yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"], "simhash": fp.view(np.int64)}
+            yield pa.RecordBatch.from_arrays(
+                [rb.column(0), pa.array(fp.view(np.int64), type=pa.int64())],
+                names=["doc_id", "simhash"],
             )
 
-    return hashed.mapInPandas(fn, schema=schema)
+    return hashed.mapInArrow(fn, schema=schema)
 
 
 # --------------------------------------------------------------------------

@@ -132,20 +132,23 @@ def rolling_fingerprint(docs: DataFrame, window: int = 8) -> DataFrame:
         ).alias("th"),
     )
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def fn(batches) -> "Iterator":
+        import pyarrow as pa
+
+        from .dedup import _list_i64_parts
+
         base = np.uint64(1099511628211)
-        for pdf in batches:
-            arrs = pdf["th"].to_numpy()
-            ndocs = len(arrs)
+        for rb in batches:
+            ndocs = rb.num_rows
+            lens, flat = _list_i64_parts(rb.column(1))
             fps = np.zeros(ndocs, dtype=np.uint64)
             if ndocs:
-                lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=ndocs)
                 nz = np.flatnonzero(lens)
                 if nz.size:
                     lens_nz = lens[nz]
-                    all_u = np.concatenate(
-                        [arrs[i] for i in nz]
-                    ).astype(np.int64).view(np.uint64)
+                    # the flat child IS the concatenation of the
+                    # non-empty docs' token hashes, in order
+                    all_u = flat.view(np.uint64)
                     starts = np.zeros(nz.size, dtype=np.int64)
                     if nz.size > 1:
                         np.cumsum(lens_nz[:-1], out=starts[1:])
@@ -157,11 +160,12 @@ def rolling_fingerprint(docs: DataFrame, window: int = 8) -> DataFrame:
                     powers = base ** np.arange(61, dtype=np.uint64)
                     vals = all_u * powers[pos % 61]
                     fps[nz] = np.add.reduceat(vals, starts)
-            yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"], "rfp": fps.view(np.int64)}
+            yield pa.RecordBatch.from_arrays(
+                [rb.column(0), pa.array(fps.view(np.int64), type=pa.int64())],
+                names=["doc_id", "rfp"],
             )
 
-    return hashed.mapInPandas(fn, schema=schema)
+    return hashed.mapInArrow(fn, schema=schema)
 
 
 def corpus_token_frequencies(
